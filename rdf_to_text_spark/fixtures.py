@@ -1,0 +1,213 @@
+"""Deterministic synthetic pages + gold triples (and their SQL twin).
+
+``doc_id → page`` is a pure integer-arithmetic function (FIXTURES.md §7),
+so the *same* contract can be evaluated three ways:
+
+  1. :func:`render_page_py` — plain Python (unit tests);
+  2. :func:`pages_from_documents` — Spark, Arrow-batched pandas UDF
+     (the pipeline's input at any scale);
+  3. :func:`gold_triples_sql` — generated ANSI SQL (the DuckDB oracle
+     the driver runs; it computes the *expected output* of the whole
+     extraction pipeline without ever rendering text).
+
+Rendering follows the reference's relexicalization semantics
+(`webnlg_eval_scripts/webnlg_baseline_input.py:191-211`): each slot key
+``ENTITIES_k `` is replaced by ``surface + ' '`` in sorted key order.
+
+Arithmetic contract (mirrored literally in the SQL):
+  n_sent(d)            = 1 + d % 3
+  lang(d)              = 'en' if d % 20 != 0 else 'xx'
+  filler(d, s)         = (d*31 + s*17) % 10 == 0
+  template t(d, s)     = (d*7 + s*13) % T
+  raws(d, s)           = d*11 + s*5
+  subj_idx             = 0 if raws % 5 < 2 else raws % |subj_pool(t)|   (Zipf-ish head skew)
+  rawo(d, s)           = d*3 + s*2
+  obj_idx              = rawo % |obj_pool(t)|
+  subj variant v(d, s) = (d + s) % |variants(subj)|
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .functions.textnorm import clean_surface
+from .templates import ENTITIES, FILLERS, OBJ_POOLS, TEMPLATES, surface_variants
+
+_T = len(TEMPLATES)
+
+
+def _subj_pool(t: int) -> list[str]:
+    return ENTITIES[TEMPLATES[t][1]]
+
+
+def _obj_pool(t: int) -> list[str]:
+    return OBJ_POOLS[TEMPLATES[t][2]]
+
+
+def _render_sentence(d: int, s: int) -> tuple[str, tuple[str, str, str] | None]:
+    """One sentence for (doc_id, sent_idx): (text, gold_triple_or_None)."""
+    if (d * 31 + s * 17) % 10 == 0:
+        return FILLERS[(d * 13 + s) % len(FILLERS)] + " .", None
+    t = (d * 7 + s * 13) % _T
+    pred, _cat, _opool, pattern = TEMPLATES[t]
+    spool, opool = _subj_pool(t), _obj_pool(t)
+    raws = d * 11 + s * 5
+    subj_idx = 0 if raws % 5 < 2 else raws % len(spool)
+    obj_idx = (d * 3 + s * 2) % len(opool)
+    subj, obj = spool[subj_idx], opool[obj_idx]
+    variants = surface_variants(subj)
+    subj_surface = variants[(d + s) % len(variants)]
+    obj_surface = clean_surface(obj)
+    # relex semantics: sorted(rplc) replace of 'KEY ' -> 'surface '
+    sent = pattern
+    for key, val in sorted({"ENTITIES_1": subj_surface, "ENTITIES_2": obj_surface}.items()):
+        sent = sent.replace(key + " ", val + " ")
+    return sent, (subj, pred, obj)
+
+
+def render_page_py(doc_id: int) -> dict:
+    """Pure-Python page render (the contract's executable spec)."""
+    n_sent = 1 + doc_id % 3
+    sents, gold = [], []
+    for s in range(n_sent):
+        text, triple = _render_sentence(doc_id, s)
+        sents.append(text)
+        if triple is not None:
+            gold.append((doc_id, s, *triple))
+    text = " ".join(sents)
+    cat = TEMPLATES[(doc_id * 7) % _T][1]
+    return {
+        "url": f"https://synth.example/{cat}/{doc_id:08d}",
+        "doc_id": doc_id,
+        "html": b"<html><body><p>" + text.encode() + b"</p></body></html>",
+        "text": text,
+        "lang": "en" if doc_id % 20 != 0 else "xx",
+        "gold": gold,
+    }
+
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the Common-Crawl-shaped ``pages`` table from the driver's
+    ``documents`` parquet (doc_id is the only input — text is rendered).
+
+    Uses ``mapInPandas`` so the render is Arrow-batched; at 100 TB the
+    real pipeline replaces this source with an Iceberg scan of actual
+    pages — everything downstream is source-agnostic.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_ts = pd.Timestamp("2024-01-01T00:00:00")
+        for pdf in batches:
+            rows = [render_page_py(int(d)) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [base_ts + pd.Timedelta(seconds=r["doc_id"]) for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+            yield out
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def gold_triples_py(doc_ids: list[int]) -> list[tuple[int, int, str, str, str]]:
+    """Expected pipeline output (en-pages only) for the given doc_ids."""
+    out = []
+    for d in doc_ids:
+        if d % 20 == 0:
+            continue
+        for row in render_page_py(d)["gold"]:
+            out.append(row)
+    return out
+
+
+# ------------------------------------------------------------------ oracle
+def _values(rows: list[tuple]) -> str:
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ",\n    ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+def gold_triples_sql() -> str:
+    """DuckDB SQL computing the gold triples from ``documents.doc_id``
+    by the same integer arithmetic — the oracle for the flagship query.
+
+    Output columns: doc_id, sent_idx, subj, pred, obj.
+    """
+    tmpl_rows = [
+        (t, pred, cat, len(ENTITIES[cat]), opool, len(OBJ_POOLS[opool]))
+        for t, (pred, cat, opool, _pat) in enumerate(TEMPLATES)
+    ]
+    spool_rows = [
+        (cat, i, name) for cat, names in ENTITIES.items() for i, name in enumerate(names)
+    ]
+    opool_rows = [
+        (pool, i, name) for pool, names in OBJ_POOLS.items() for i, name in enumerate(names)
+    ]
+    return f"""
+WITH nums(s) AS (VALUES (0), (1), (2)),
+sent AS (
+  SELECT d.doc_id, n.s
+  FROM documents d JOIN nums n ON n.s < 1 + (d.doc_id % 3)
+  WHERE d.doc_id % 20 <> 0
+),
+hit AS (
+  SELECT doc_id, s,
+         ((doc_id*7 + s*13) % {_T}) AS t,
+         (doc_id*11 + s*5) AS raws,
+         (doc_id*3 + s*2) AS rawo
+  FROM sent
+  WHERE (doc_id*31 + s*17) % 10 <> 0
+),
+tmpl(t, pred, scat, ssize, opool, osize) AS (VALUES
+    {_values(tmpl_rows)}
+),
+spool(cat, idx, name) AS (VALUES
+    {_values(spool_rows)}
+),
+opool(pool, idx, name) AS (VALUES
+    {_values(opool_rows)}
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+       CAST(h.s AS INT) AS sent_idx,
+       sp.name AS subj,
+       tm.pred AS pred,
+       op.name AS obj
+FROM hit h
+JOIN tmpl tm ON tm.t = h.t
+JOIN spool sp ON sp.cat = tm.scat
+  AND sp.idx = CASE WHEN h.raws % 5 < 2 THEN 0 ELSE h.raws % tm.ssize END
+JOIN opool op ON op.pool = tm.opool AND op.idx = h.rawo % tm.osize
+"""

@@ -1,0 +1,228 @@
+"""Triple extraction: text → (subj, pred, obj) with provenance.
+
+Inverts the reference's delex/relex machinery:
+
+  * the frozen template pairs (`data/preprocess_input/*-delex.{triple,lex}`,
+    e.g. lex ``ENTITIES_1 serves the city of ENTITIES_2 .``) become an
+    extraction-pattern bank — each pattern compiled to a regex whose
+    slots capture candidate entity surfaces;
+  * the delex dictionary scan (`webnlg_baseline_input.py:68-97`) becomes
+    an alias-index probe with the same fallback ladder
+    (exact / lowercase / paren-stripped prefix, :84-95);
+  * the substitution-order determinism (:82 ``sorted(...)``) becomes a
+    deterministic best-match rank per sentence.
+
+Execution shape (scale notes):
+  * the pattern bank + alias index are broadcast once; each executor
+    compiles regexes / builds tries lazily on first batch (process-local
+    cache) — the classic fix for the reference re-reading
+    delex_dict.json per example (`webnlg_baseline_input.py:47-52`);
+  * all work is Arrow-batched ``mapInPandas`` over page rows — a narrow
+    map stage with NO shuffle: at 100 TB this scales linearly with
+    input splits;
+  * output is exploded triples with provenance (doc_id, sent_idx,
+    char offsets, template_id) so downstream MERGE is idempotent.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.ahocorasick import AhoCorasick
+from ..templates import TEMPLATES, build_alias_index
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("sent_idx", IntegerType()),
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("subj_surface", StringType()),
+        StructField("obj_surface", StringType()),
+        StructField("template_id", IntegerType()),
+        StructField("char_start", IntegerType()),
+        StructField("char_end", IntegerType()),
+    ]
+)
+
+_SLOT = re.compile(r"ENTITIES_[0-9]+")
+
+
+class PatternBank:
+    """Compiled template bank, built once per executor from constants.
+
+    Each template pattern (token space) compiles to a full-sentence
+    regex: slots become lazy token-sequence captures. Rank for
+    overlapping matches = (#literal tokens desc, template_id asc) —
+    the longest-field preference of webnlg_baseline_input.py:67-70.
+    """
+
+    def __init__(self, templates: list[tuple[str, str, str, str]] | None = None):
+        self.templates = templates if templates is not None else TEMPLATES
+        self.compiled: list[tuple[int, re.Pattern, str, int]] = []
+        for tid, (pred, _cat, _opool, pattern) in enumerate(self.templates):
+            body = pattern[:-2] if pattern.endswith(" .") else pattern
+            parts = _SLOT.split(body)
+            slots = _SLOT.findall(body)
+            rx = re.escape(parts[0])
+            for slot, part in zip(slots, parts[1:]):
+                group = "e1" if slot == "ENTITIES_1" else "e2"
+                rx += rf"(?P<{group}>\S+(?: \S+)*?)" + re.escape(part)
+            n_literal = sum(len(p.split()) for p in parts)
+            self.compiled.append((tid, re.compile(rx + r" \.\Z"), pred, n_literal))
+
+
+_BANK: PatternBank | None = None
+_ALIASES: dict[str, tuple[str, str]] | None = None
+
+
+def _get_bank() -> PatternBank:
+    global _BANK
+    if _BANK is None:
+        _BANK = PatternBank()
+    return _BANK
+
+
+def _get_aliases() -> dict[str, tuple[str, str]]:
+    global _ALIASES
+    if _ALIASES is None:
+        _ALIASES = build_alias_index()
+    return _ALIASES
+
+
+def link_surface(surface: str, aliases: dict[str, tuple[str, str]]) -> str | None:
+    """Alias-ladder lookup: exact → lowercase → paren-stripped prefix.
+
+    Mirrors webnlg_baseline_input.py:84-95 (same order, same transforms).
+    Returns the canonical entity name or None.
+    """
+    hit = aliases.get(surface)
+    if hit is None:
+        hit = aliases.get(surface.lower())
+    if hit is None:
+        hit = aliases.get(surface.split("(")[0].strip())
+    return hit[0] if hit else None
+
+
+def _extract_from_text(
+    doc_id: int, url: str, text: str, bank: PatternBank, aliases: dict
+) -> list[tuple]:
+    """Extract linked triples from one normalized page text."""
+    rows: list[tuple] = []
+    pos = 0
+    for sent_idx, sentence in enumerate(text.split(" . ")):
+        if not sentence.endswith(" ."):
+            sentence = sentence + " ."
+        best: tuple | None = None
+        best_rank: tuple | None = None
+        for tid, rx, pred, n_literal in bank.compiled:
+            m = rx.match(sentence)
+            if m is None:
+                continue
+            gd = m.groupdict()
+            subj = link_surface(gd.get("e1", ""), aliases)
+            obj = link_surface(gd.get("e2", ""), aliases)
+            if subj is None or obj is None:
+                continue
+            rank = (-n_literal, tid)
+            if best_rank is None or rank < best_rank:
+                best_rank = rank
+                best = (
+                    doc_id,
+                    url,
+                    sent_idx,
+                    subj,
+                    pred,
+                    obj,
+                    gd.get("e1", ""),
+                    gd.get("e2", ""),
+                    tid,
+                    pos,
+                    pos + len(sentence),
+                )
+        if best is not None:
+            rows.append(best)
+        pos += len(sentence) + 1  # ' ' separator; split removed ' . ' -> +3 below
+    return rows
+
+
+def extract_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages(doc_id, url, text, …) → triples DataFrame (narrow map stage)."""
+    cols = ["doc_id", "url", text_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bank = _get_bank()
+        aliases = _get_aliases()
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, url, text in zip(pdf["doc_id"], pdf["url"], pdf[text_col]):
+                if text:
+                    rows.extend(_extract_from_text(int(doc_id), url, text, bank, aliases))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in TRIPLES_SCHEMA.fields],
+            )
+
+    return pages.select(*cols).mapInPandas(run, TRIPLES_SCHEMA)
+
+
+# ------------------------------------------------------------ mentions
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mention", StringType()),
+        StructField("entity", StringType()),
+        StructField("category", StringType()),
+        StructField("tok_start", IntegerType()),
+        StructField("tok_end", IntegerType()),
+    ]
+)
+
+_TRIE: AhoCorasick | None = None
+_TRIE_PATTERNS: list[tuple[str, str, str]] | None = None
+
+
+def _get_trie() -> tuple[AhoCorasick, list[tuple[str, str, str]]]:
+    """Aho-Corasick over every alias surface, built once per executor."""
+    global _TRIE, _TRIE_PATTERNS
+    if _TRIE is None:
+        aliases = _get_aliases()
+        patterns = sorted(aliases.items())  # deterministic pattern ids (W2)
+        _TRIE_PATTERNS = [(surf, ent, cat) for surf, (ent, cat) in patterns]
+        _TRIE = AhoCorasick({surf: i for i, (surf, _e, _c) in enumerate(_TRIE_PATTERNS)})
+    return _TRIE, _TRIE_PATTERNS
+
+
+def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """One automaton pass per page: all alias occurrences, longest-leftmost.
+
+    This is the inverted delexicalisation scan (P6): the reference loops
+    every alias over every example; we make one linear pass per text for
+    the whole dictionary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie, patterns = _get_trie()
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = text.split(" ") if text else []
+                for start, end, pid in trie.find_longest(toks):
+                    surf, ent, cat = patterns[pid]
+                    rows.append((int(doc_id), surf, ent, cat, start, end))
+            yield pd.DataFrame(rows, columns=[f.name for f in MENTIONS_SCHEMA.fields])
+
+    return pages.select("doc_id", text_col).mapInPandas(run, MENTIONS_SCHEMA)
