@@ -47,6 +47,14 @@ from .templates import ENTITIES, FILLERS, OBJ_POOLS, TEMPLATES, surface_variants
 
 _T = len(TEMPLATES)
 
+# Precomputed surface caches (renders are hot: one call per sentence).
+_SUBJ_VARIANTS: dict[str, list[list[str]]] = {
+    cat: [surface_variants(e) for e in names] for cat, names in ENTITIES.items()
+}
+_OBJ_SURFACES: dict[str, list[str]] = {
+    pool: [clean_surface(o) for o in names] for pool, names in OBJ_POOLS.items()
+}
+
 
 def _subj_pool(t: int) -> list[str]:
     return ENTITIES[TEMPLATES[t][1]]
@@ -119,6 +127,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages — everything downstream is source-agnostic.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # The driver's parquet is a single tiny file → one input split; spread the
+    # render across the cluster. (On a real 100 TB Iceberg source this is a
+    # no-op — splits already cover the executors.)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         base_ts = pd.Timestamp("2024-01-01T00:00:00")

@@ -77,7 +77,7 @@ class PatternBank:
             body = pattern[:-2] if pattern.endswith(" .") else pattern
             parts = _SLOT.split(body)
             slots = _SLOT.findall(body)
-            rx = re.escape(parts[0])
+            rx = r"\A" + re.escape(parts[0])
             for slot, part in zip(slots, parts[1:]):
                 group = "e1" if slot == "ENTITIES_1" else "e2"
                 rx += rf"(?P<{group}>\S+(?: \S+)*?)" + re.escape(part)
@@ -159,22 +159,88 @@ def _extract_from_text(
     return rows
 
 
+def _link_series(s: pd.Series, alias_map: dict[str, str]) -> pd.Series:
+    """Vectorized alias ladder: exact → lowercase → paren-stripped prefix."""
+    exact = s.map(alias_map)
+    lower = s.str.lower().map(alias_map)
+    paren = s.str.split("(").str[0].str.strip().map(alias_map)
+    return exact.combine_first(lower).combine_first(paren)
+
+
+def _extract_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch.
+
+    1. explode pages into sentences (split on the ' . ' terminal, with
+       char-offset bookkeeping);
+    2. per template, one C-level ``str.extract`` over ALL sentences;
+    3. vectorized alias-ladder linking of both slots;
+    4. best match per sentence by (#literal tokens desc, template_id asc).
+    """
+    bank = _get_bank()
+    alias_map = {surf: ent for surf, (ent, _cat) in _get_aliases().items()}
+    cols = [f.name for f in TRIPLES_SCHEMA.fields]
+
+    text = pdf[text_col].fillna("")
+    body = text.str.replace(r" \.$", "", regex=True)  # strip final terminal
+    pieces = body.str.split(" . ", regex=False)
+    sent = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].values,
+            "url": pdf["url"].values,
+            "piece": pieces.values,
+        }
+    ).explode("piece", ignore_index=True)
+    sent = sent[sent["piece"].notna() & (sent["piece"] != "")]
+    if sent.empty:
+        return pd.DataFrame(columns=cols)
+    sent["sent_idx"] = sent.groupby("doc_id").cumcount().astype("int32")
+    sent["sentence"] = sent.pop("piece") + " ."
+    # char offsets: start_i = sum_{j<i} (len(sentence_j) + 1)
+    slen = sent["sentence"].str.len() + 1
+    sent["char_start"] = (slen.groupby(sent["doc_id"]).cumsum() - slen).astype("int32")
+    sent["char_end"] = (sent["char_start"] + slen - 1).astype("int32")
+    sent = sent.reset_index(drop=True)
+
+    out_parts: list[pd.DataFrame] = []
+    for tid, rx, pred, n_literal in bank.compiled:
+        ext = sent["sentence"].str.extract(rx)
+        hit = ext["e1"].notna() & ext["e2"].notna()
+        if not hit.any():
+            continue
+        cand = sent.loc[hit, ["doc_id", "url", "sent_idx", "char_start", "char_end"]].copy()
+        cand["subj_surface"] = ext.loc[hit, "e1"]
+        cand["obj_surface"] = ext.loc[hit, "e2"]
+        cand["subj"] = _link_series(cand["subj_surface"], alias_map)
+        cand["obj"] = _link_series(cand["obj_surface"], alias_map)
+        cand = cand[cand["subj"].notna() & cand["obj"].notna()]
+        if cand.empty:
+            continue
+        cand["pred"] = pred
+        cand["template_id"] = tid
+        cand["_rank_lit"] = -n_literal
+        cand["_sid"] = cand.index  # sentence row id (index survives .loc)
+        out_parts.append(cand)
+
+    if not out_parts:
+        return pd.DataFrame(columns=cols)
+    allc = pd.concat(out_parts, ignore_index=True)
+    allc = allc.sort_values(["_sid", "_rank_lit", "template_id"]).drop_duplicates("_sid")
+    allc["template_id"] = allc["template_id"].astype("int32")
+    return allc[cols]
+
+
 def extract_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """pages(doc_id, url, text, …) → triples DataFrame (narrow map stage)."""
+    """pages(doc_id, url, text, …) → triples DataFrame (narrow map stage).
+
+    Arrow-batched ``mapInPandas``; each batch runs the vectorized
+    extractor (one compiled-regex pass per template over the whole
+    batch — no per-row Python in the hot path).
+    """
     cols = ["doc_id", "url", text_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bank = _get_bank()
-        aliases = _get_aliases()
         for pdf in batches:
-            rows: list[tuple] = []
-            for doc_id, url, text in zip(pdf["doc_id"], pdf["url"], pdf[text_col]):
-                if text:
-                    rows.extend(_extract_from_text(int(doc_id), url, text, bank, aliases))
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in TRIPLES_SCHEMA.fields],
-            )
+            yield _extract_batch(pdf, text_col)
 
     return pages.select(*cols).mapInPandas(run, TRIPLES_SCHEMA)
 
