@@ -40,10 +40,13 @@ def main() -> None:
             "kg_extract_triples",
             "kg_vocab_topk",
             "kg_levi_edges",
-            "dedup_exact",
+            "kg_triple_support",
+            "dedup_groups",
+            "dedup_minhash_pairs",
             "text_quality",
             "ann_cosine_topk",
             "tpch_q1",
+            "top_orders_per_segment",
         )
         if name in queries_catalog.QUERIES
     ]

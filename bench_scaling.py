@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: same job at N and 4N parallelism.
+
+The north_rule's two-cluster-size criterion can't use a real cluster in
+this sandbox, so we evidence it as instructed: run the identical
+extraction job on the identical input at ``local[8]`` and ``local[32]``
+and report throughput at both plus
+
+    efficiency = throughput(4N) / (4 × throughput(N)).
+
+Job shape matches production: parquet scan of a pages table → fused
+extraction stage → count. The pages table is materialized once in a
+setup phase (not timed); wall-clock excludes JVM startup and
+Python-worker warmup (a warmup pass runs the same operators first).
+Results are printed as JSON and appended to BENCH.md.
+
+Usage: python bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+_MATERIALIZE = """
+import sys
+from rdf_to_text_spark import fixtures
+from rdf_to_text_spark.session import get_spark
+
+n_docs, path = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(app_name="bench_setup", master="local[32]", shuffle_partitions=32)
+fixtures.pages_from_range(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+
+def materialize_pages(n_docs: int) -> str:
+    """Write the pages table in a SUBPROCESS so its JVM (and heap RSS)
+    dies before measurement — a lingering gateway JVM in the parent
+    evicts the page cache and distorts the timed runs."""
+    import subprocess
+
+    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-c", _MATERIALIZE, str(n_docs), path],
+        env=env, timeout=1800, check=True, capture_output=True,
+    )
+    return path
+
+
+_WORKER = """
+import json, sys, time
+from rdf_to_text_spark.pipeline import extract_pipeline
+from rdf_to_text_spark.session import get_spark
+
+cpus, pages_path, n_docs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+pages = spark.read.parquet(pages_path)
+# warmup touches EVERY partition so all Python workers fork+import
+# outside the measured window (sample keeps the work small)
+extract_pipeline(pages.sample(0.02, seed=1), use_html=True).count()
+# best-of-3: this sandbox shows heavy noisy-neighbor CPU steal (identical
+# runs vary 3x); the minimum wall is the honest capability estimate.
+walls, n_triples = [], 0
+for _ in range(3):
+    t0 = time.time()
+    n_triples = extract_pipeline(pages, use_html=True).count()
+    walls.append(time.time() - t0)
+wall = min(walls)
+print(json.dumps({"cpus": cpus, "n_docs": n_docs, "n_triples": n_triples,
+                  "wall_sec": round(wall, 2), "all_walls": [round(w, 2) for w in walls],
+                  "docs_per_sec": round(n_docs / wall, 1),
+                  "triples_per_sec": round(n_triples / wall, 1)}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages_path: str, n_docs: int) -> dict:
+    """Run the measurement in a CPU-pinned subprocess.
+
+    ``taskset -c 0-{cpus-1}`` confines the *whole* Spark process tree
+    (JVM + Python workers) to exactly `cpus` cores — the honest proxy
+    for an N-executor cluster. Without pinning, local[8]'s Python
+    workers borrow idle cores and inflate the small-cluster number.
+    """
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, "-c", _WORKER, str(cpus), pages_path, str(n_docs),
+    ]
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    pages_path = materialize_pages(n_docs)
+    r8 = run_at(8, pages_path, n_docs)
+    r32 = run_at(32, pages_path, n_docs)
+    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "local8": r8,
+        "local32": r32,
+    }
+    print(json.dumps(out))
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M')}Z, n_docs={n_docs}, "
+            f"parquet scan → fused extract)\n\n"
+            f"| parallelism | wall (s) | docs/sec | triples/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['triples_per_sec']} |\n"
+            f"| local[32] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['triples_per_sec']} |\n\n"
+            f"**Scaling efficiency (8→32 cores, 4×): {eff:.3f}** "
+            f"(target ≥ 0.8 per BASELINE.json north_rule)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,34 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, PAGES_SCHEMA)
 
 
+def pages_from_range(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Render n_docs synthetic pages from a pure id range (bench source).
+
+    Same contract as :func:`pages_from_documents` but scale-free: the
+    input is ``spark.range`` so benchmarks can size the corpus
+    independently of the driver's parquet fixtures.
+    """
+    par = partitions or spark.sparkContext.defaultParallelism
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id").repartition(par, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_ts = pd.Timestamp("2024-01-01T00:00:00")
+        for pdf in batches:
+            rows = [render_page_py(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [base_ts + pd.Timedelta(seconds=r["doc_id"]) for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
 def gold_triples_py(doc_ids: list[int]) -> list[tuple[int, int, str, str, str]]:
     """Expected pipeline output (en-pages only) for the given doc_ids."""
     out = []
@@ -172,28 +200,39 @@ def _values(rows: list[tuple]) -> str:
     return ",\n    ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
 
 
-def gold_triples_sql() -> str:
-    """DuckDB SQL computing the gold triples from ``documents.doc_id``
-    by the same integer arithmetic — the oracle for the flagship query.
+def gold_cte(include_xx: bool = False) -> str:
+    """Shared WITH-clause body: a ``gold`` relation with columns
+    (doc_id, sent_idx, subj, pred, obj, subj_surface, obj_surface,
+    category) computed from doc_id arithmetic alone.
 
-    Output columns: doc_id, sent_idx, subj, pred, obj.
+    Embed as ``WITH {gold_cte()} SELECT ... FROM gold``.
     """
     tmpl_rows = [
         (t, pred, cat, len(ENTITIES[cat]), opool, len(OBJ_POOLS[opool]))
         for t, (pred, cat, opool, _pat) in enumerate(TEMPLATES)
     ]
     spool_rows = [
-        (cat, i, name) for cat, names in ENTITIES.items() for i, name in enumerate(names)
+        (cat, i, name, len(_SUBJ_VARIANTS[cat][i]))
+        for cat, names in ENTITIES.items()
+        for i, name in enumerate(names)
+    ]
+    svar_rows = [
+        (cat, i, v, surf)
+        for cat, names in ENTITIES.items()
+        for i, _name in enumerate(names)
+        for v, surf in enumerate(_SUBJ_VARIANTS[cat][i])
     ]
     opool_rows = [
-        (pool, i, name) for pool, names in OBJ_POOLS.items() for i, name in enumerate(names)
+        (pool, i, name, _OBJ_SURFACES[pool][i])
+        for pool, names in OBJ_POOLS.items()
+        for i, name in enumerate(names)
     ]
-    return f"""
-WITH nums(s) AS (VALUES (0), (1), (2)),
+    lang_filter = "" if include_xx else "WHERE d.doc_id % 20 <> 0"
+    return f"""nums(s) AS (VALUES (0), (1), (2)),
 sent AS (
   SELECT d.doc_id, n.s
   FROM documents d JOIN nums n ON n.s < 1 + (d.doc_id % 3)
-  WHERE d.doc_id % 20 <> 0
+  {lang_filter}
 ),
 hit AS (
   SELECT doc_id, s,
@@ -206,20 +245,34 @@ hit AS (
 tmpl(t, pred, scat, ssize, opool, osize) AS (VALUES
     {_values(tmpl_rows)}
 ),
-spool(cat, idx, name) AS (VALUES
+spool(cat, idx, name, nvar) AS (VALUES
     {_values(spool_rows)}
 ),
-opool(pool, idx, name) AS (VALUES
+svar(cat, idx, vidx, surface) AS (VALUES
+    {_values(svar_rows)}
+),
+opool(pool, idx, name, surface) AS (VALUES
     {_values(opool_rows)}
-)
-SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
-       CAST(h.s AS INT) AS sent_idx,
-       sp.name AS subj,
-       tm.pred AS pred,
-       op.name AS obj
-FROM hit h
-JOIN tmpl tm ON tm.t = h.t
-JOIN spool sp ON sp.cat = tm.scat
-  AND sp.idx = CASE WHEN h.raws % 5 < 2 THEN 0 ELSE h.raws % tm.ssize END
-JOIN opool op ON op.pool = tm.opool AND op.idx = h.rawo % tm.osize
-"""
+),
+gold AS (
+  SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+         CAST(h.s AS INT) AS sent_idx,
+         sp.name AS subj,
+         tm.pred AS pred,
+         op.name AS obj,
+         sv.surface AS subj_surface,
+         op.surface AS obj_surface,
+         tm.scat AS category
+  FROM hit h
+  JOIN tmpl tm ON tm.t = h.t
+  JOIN spool sp ON sp.cat = tm.scat
+    AND sp.idx = CASE WHEN h.raws % 5 < 2 THEN 0 ELSE h.raws % tm.ssize END
+  JOIN svar sv ON sv.cat = sp.cat AND sv.idx = sp.idx
+    AND sv.vidx = (h.doc_id + h.s) % sp.nvar
+  JOIN opool op ON op.pool = tm.opool AND op.idx = h.rawo % tm.osize
+)"""
+
+
+def gold_triples_sql() -> str:
+    """Flagship oracle: expected extraction output from arithmetic alone."""
+    return f"WITH {gold_cte()} SELECT doc_id, sent_idx, subj, pred, obj FROM gold"

@@ -73,16 +73,28 @@ class PatternBank:
     def __init__(self, templates: list[tuple[str, str, str, str]] | None = None):
         self.templates = templates if templates is not None else TEMPLATES
         self.compiled: list[tuple[int, re.Pattern, str, int]] = []
+        bodies: dict[int, str] = {}
         for tid, (pred, _cat, _opool, pattern) in enumerate(self.templates):
             body = pattern[:-2] if pattern.endswith(" .") else pattern
             parts = _SLOT.split(body)
             slots = _SLOT.findall(body)
-            rx = r"\A" + re.escape(parts[0])
+            rx = re.escape(parts[0])
             for slot, part in zip(slots, parts[1:]):
                 group = "e1" if slot == "ENTITIES_1" else "e2"
                 rx += rf"(?P<{group}>\S+(?: \S+)*?)" + re.escape(part)
             n_literal = sum(len(p.split()) for p in parts)
-            self.compiled.append((tid, re.compile(rx + r" \.\Z"), pred, n_literal))
+            bodies[tid] = rx
+            self.compiled.append(
+                (tid, re.compile(r"\A" + rx + r" \.\Z"), pred, n_literal)
+            )
+        # Per-template prefilter literal: the longest literal segment.
+        # `str.contains(lit, regex=False)` is a C substring scan ~10×
+        # cheaper than regex extract; only surviving candidates pay the
+        # full anchored extract (measured 5× end-to-end, BENCH.md).
+        self.prefilter: list[str] = []
+        for _tid, (_pred, _cat, _opool, pattern) in enumerate(self.templates):
+            body = pattern[:-2] if pattern.endswith(" .") else pattern
+            self.prefilter.append(max(_SLOT.split(body), key=len))
 
 
 _BANK: PatternBank | None = None
@@ -167,19 +179,8 @@ def _link_series(s: pd.Series, alias_map: dict[str, str]) -> pd.Series:
     return exact.combine_first(lower).combine_first(paren)
 
 
-def _extract_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    """Vectorized extraction over one Arrow batch.
-
-    1. explode pages into sentences (split on the ' . ' terminal, with
-       char-offset bookkeeping);
-    2. per template, one C-level ``str.extract`` over ALL sentences;
-    3. vectorized alias-ladder linking of both slots;
-    4. best match per sentence by (#literal tokens desc, template_id asc).
-    """
-    bank = _get_bank()
-    alias_map = {surf: ent for surf, (ent, _cat) in _get_aliases().items()}
-    cols = [f.name for f in TRIPLES_SCHEMA.fields]
-
+def _sentence_table(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Explode pages into sentences with offsets (vectorized)."""
     text = pdf[text_col].fillna("")
     body = text.str.replace(r" \.$", "", regex=True)  # strip final terminal
     pieces = body.str.split(" . ", regex=False)
@@ -192,38 +193,69 @@ def _extract_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     ).explode("piece", ignore_index=True)
     sent = sent[sent["piece"].notna() & (sent["piece"] != "")]
     if sent.empty:
-        return pd.DataFrame(columns=cols)
+        return sent
     sent["sent_idx"] = sent.groupby("doc_id").cumcount().astype("int32")
     sent["sentence"] = sent.pop("piece") + " ."
     # char offsets: start_i = sum_{j<i} (len(sentence_j) + 1)
     slen = sent["sentence"].str.len() + 1
     sent["char_start"] = (slen.groupby(sent["doc_id"]).cumsum() - slen).astype("int32")
     sent["char_end"] = (sent["char_start"] + slen - 1).astype("int32")
-    sent = sent.reset_index(drop=True)
+    return sent.reset_index(drop=True)
 
-    out_parts: list[pd.DataFrame] = []
-    for tid, rx, pred, n_literal in bank.compiled:
-        ext = sent["sentence"].str.extract(rx)
+
+_META = ["doc_id", "url", "sent_idx", "char_start", "char_end"]
+
+
+def _finalize(cand: pd.DataFrame, alias_map: dict[str, str]) -> pd.DataFrame:
+    """Link both slots; keep rows where both link."""
+    cand["subj"] = _link_series(cand["subj_surface"], alias_map)
+    cand["obj"] = _link_series(cand["obj_surface"], alias_map)
+    return cand[cand["subj"].notna() & cand["obj"].notna()].copy()
+
+
+def _extract_batch(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch.
+
+    1. explode pages into sentences (vectorized, offset bookkeeping);
+    2. per template: C-level substring prefilter on its longest literal,
+       then anchored ``str.extract`` on surviving candidates only;
+    3. vectorized alias-ladder linking of both slots;
+    4. best *linked* match per sentence by
+       (#literal tokens desc, template_id asc).
+    """
+    bank = _get_bank()
+    alias_map = {surf: ent for surf, (ent, _cat) in _get_aliases().items()}
+    cols = [f.name for f in TRIPLES_SCHEMA.fields]
+
+    sent = _sentence_table(pdf, text_col)
+    if sent.empty:
+        return pd.DataFrame(columns=cols)
+
+    parts: list[pd.DataFrame] = []
+    for (tid, rx, pred, n_literal), lit in zip(bank.compiled, bank.prefilter):
+        cand_sents = sent["sentence"][sent["sentence"].str.contains(lit, regex=False)]
+        if cand_sents.empty:
+            continue
+        ext = cand_sents.str.extract(rx)
         hit = ext["e1"].notna() & ext["e2"].notna()
         if not hit.any():
             continue
-        cand = sent.loc[hit, ["doc_id", "url", "sent_idx", "char_start", "char_end"]].copy()
-        cand["subj_surface"] = ext.loc[hit, "e1"]
-        cand["obj_surface"] = ext.loc[hit, "e2"]
-        cand["subj"] = _link_series(cand["subj_surface"], alias_map)
-        cand["obj"] = _link_series(cand["obj_surface"], alias_map)
-        cand = cand[cand["subj"].notna() & cand["obj"].notna()]
-        if cand.empty:
+        idx = ext.index[hit]
+        cand = sent.loc[idx, _META].copy()
+        cand["subj_surface"] = ext.loc[idx, "e1"]
+        cand["obj_surface"] = ext.loc[idx, "e2"]
+        linked = _finalize(cand, alias_map)
+        if linked.empty:
             continue
-        cand["pred"] = pred
-        cand["template_id"] = tid
-        cand["_rank_lit"] = -n_literal
-        cand["_sid"] = cand.index  # sentence row id (index survives .loc)
-        out_parts.append(cand)
+        linked["pred"] = pred
+        linked["template_id"] = tid
+        linked["_rank_lit"] = -n_literal
+        linked["_sid"] = linked.index  # sentence row id
+        parts.append(linked)
 
-    if not out_parts:
+    if not parts:
         return pd.DataFrame(columns=cols)
-    allc = pd.concat(out_parts, ignore_index=True)
+    allc = pd.concat(parts, ignore_index=True)
     allc = allc.sort_values(["_sid", "_rank_lit", "template_id"]).drop_duplicates("_sid")
     allc["template_id"] = allc["template_id"].astype("int32")
     return allc[cols]
@@ -243,6 +275,34 @@ def extract_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
             yield _extract_batch(pdf, text_col)
 
     return pages.select(*cols).mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def extract_triples_from_html(pages: DataFrame) -> DataFrame:
+    """Fused html → text → normalize → extract in ONE Python stage.
+
+    Chaining separate pandas UDFs for decode/normalize/extract costs a
+    Python worker per stage per task (3× process pressure at high
+    local parallelism and 3 Arrow (de)serializations per row at
+    cluster scale); the fused stage does the identical vectorized work
+    through a single Arrow boundary. Normalization reuses the
+    byte-identical series kernels from functions.textnorm.
+    """
+    from ..functions.textnorm import _normalize_series
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["html"].map(
+                lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
+            )
+            text = _normalize_series(
+                decoded.str.replace(r"<[^>]*>", " ", regex=True).str.strip()
+            )
+            batch = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "url": pdf["url"], "text": text}
+            )
+            yield _extract_batch(batch, "text")
+
+    return pages.select("doc_id", "url", "html").mapInPandas(run, TRIPLES_SCHEMA)
 
 
 # ------------------------------------------------------------ mentions

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (broadcast the query
+side, score engine-side, window top-k — the W5 idiom of SURVEY.md).
+The scale path is LSH bucketing: random-hyperplane signatures prune
+the candidate space so the exact scorer only sees same-bucket pairs.
+
+Scale notes: brute force is O(Q×N) with the query side broadcast —
+right for Q ≤ ~10³. The LSH path shuffles on (bucket) — uniform keys —
+and its exact re-rank touches only candidates. An IVF variant would
+k-means the corpus and probe nearest centroids; the bucket-join
+skeleton here is identical, so it plugs in as a different bucketer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) exact top-k by cosine.
+
+    All arithmetic in doubles via engine-side higher-order functions
+    (zip_with/aggregate) — whole-stage-codegen'd, no Python. The query
+    side is explicitly broadcast; ties break by neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "sim")
+    )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) random-hyperplane LSH signature (one int bucket).
+
+    The plane matrix is generated from a fixed seed inside the UDF —
+    identical on every executor without a broadcast round-trip.
+    """
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).randn(dim, n_planes)
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return vectors.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates, exact cosine re-rank.
+
+    Recall < 1 by construction (single probe); the bench compares its
+    wall-clock and recall against the brute-force baseline.
+    """
+    cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    c = corpus.join(cb, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    q = queries.join(qb, id_col).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "sim")
+    )

@@ -1,0 +1,90 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure engine expressions (whole-stage codegen, no Python) so the
+DuckDB oracles can reproduce them exactly. Ratios are rounded to fixed
+decimals at the operator boundary — the cross-engine hash contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small English function-word list for the n-gram/stopword heuristic.
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "in", "is", "to", "and", "for", "on",
+    "with", "by", "was", "as", "at", "from",
+]
+
+
+def _ws_tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len) — whitespace tokens."""
+    toks = _ws_tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / F.size(toks), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, alpha_ratio, quality) —
+    length/stopword/alpha heuristics in the Gopher/C4 style.
+
+    quality = 1 when: 10 ≤ n_tokens ≤ 10000, stopword_ratio ≥ 0.01,
+    alpha_ratio ≥ 0.5 (share of [a-z] chars among non-space chars).
+    """
+    toks = _ws_tokens(text_col)
+    lower = F.lower(F.col(text_col))
+    nonspace = F.length(F.regexp_replace(lower, r"\s+", ""))
+    alpha = F.length(F.regexp_replace(lower, r"[^a-z]", ""))
+    sw_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(F.split(F.trim(lower), r"\s+"), lambda t: F.array_contains(sw_arr, t)))
+    n_tok = F.size(toks)
+    stopword_ratio = F.round(n_sw / n_tok, 4)
+    alpha_ratio = F.round(alpha / F.greatest(nonspace, F.lit(1)), 4)
+    quality = (
+        (n_tok >= 10) & (n_tok <= 10000) & (stopword_ratio >= 0.01) & (alpha_ratio >= 0.5)
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, en_ratio, pred_lang) — stopword-fraction heuristic.
+
+    pred_lang = 'en' when ≥ 5% of tokens are English function words.
+    (A real system plugs a fastText model into the same slot as a
+    pandas UDF; the plumbing — per-doc score + threshold — is what the
+    engine owns.)
+    """
+    lower = F.lower(F.col(text_col))
+    toks = F.split(F.trim(lower), r"\s+")
+    sw_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    en_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))) / F.size(toks), 4
+    )
+    return docs.select(
+        F.col(id_col),
+        en_ratio.alias("en_ratio"),
+        F.when(en_ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — md5 of squeezed lowercase text (content identity)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -14,8 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.textnorm import extract_text_udf, normalize_udf
-from .operators.extract import extract_triples
+from .operators.extract import extract_triples, extract_triples_from_html
 
 
 def extract_pipeline(pages: DataFrame, use_html: bool = False) -> DataFrame:
@@ -24,10 +23,11 @@ def extract_pipeline(pages: DataFrame, use_html: bool = False) -> DataFrame:
     * ``lang = 'en'`` filter is applied *before* any Python work and —
       on a parquet/Iceberg source — pushes down to the scan.
     * When ``use_html`` is set the text is re-derived from the html
-      payload (extract + normalize, byte-identical invariant); otherwise
-      the pre-extracted ``text`` column is trusted.
+      payload and the whole decode → normalize → extract chain runs as
+      ONE fused Arrow stage (byte-identical invariant preserved);
+      otherwise the pre-extracted ``text`` column is trusted.
     """
     df = pages.filter(F.col("lang") == "en")
     if use_html:
-        df = df.withColumn("text", normalize_udf(extract_text_udf(F.col("html"))))
+        return extract_triples_from_html(df)
     return extract_triples(df)

@@ -4,16 +4,25 @@ Each entry pairs a Spark implementation with a DuckDB oracle over the
 driver's pre-registered views (region nation customer supplier part
 orders lineitem events documents embeddings). Column names/aliases match
 exactly on both sides (the driver sorts columns by name before hashing).
+
+Hash-stability rules used throughout:
+  * outputs are integers/strings wherever possible — no float sums;
+  * money aggregates go through DECIMAL (exact) and cast to double at
+    the very end, so both engines emit the identical value;
+  * ratio thresholds are evaluated in integer arithmetic
+    (``20*n_sw >= n_tok`` instead of ``n_sw/n_tok >= 0.05``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures
+from .operators import dedup, graph, similarity, text_analysis, vocab
+from .operators.canonicalize import connected_components, first_token_clusters
 from .pipeline import extract_pipeline
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -30,16 +39,386 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-# ------------------------------------------------------------------ flagship
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output (the real pipeline, not the gold shortcut)."""
+    pages = fixtures.pages_from_documents(spark, sf_dir)
+    return extract_pipeline(pages, use_html=True)
+
+
+# ============================================================== KG family
 @_register("kg_extract_triples", fixtures.gold_triples_sql())
 def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full inverted pipeline: render pages → extract → linked triples."""
-    pages = fixtures.pages_from_documents(spark, sf_dir)
-    triples = extract_pipeline(pages, use_html=True)
-    return triples.select(
+    """Flagship: render pages → html→text → extract → linked triples."""
+    return _triples(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("sent_idx").cast("int").alias("sent_idx"),
         "subj",
         "pred",
         "obj",
+    )
+
+
+@_register(
+    "kg_levi_edges",
+    f"""WITH {fixtures.gold_cte()}
+SELECT doc_id, sent_idx, lower(string_split(subj, '_')[1]) AS node1,
+       lower(pred) AS node2, 'A0' AS label FROM gold
+UNION ALL
+SELECT doc_id, sent_idx, lower(string_split(obj, '_')[1]) AS node1,
+       lower(pred) AS node2, 'A1' AS label FROM gold""",
+)
+def kg_levi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G3 Levi edges (A0 subj→pred, A1 obj→pred) from extraction."""
+    return graph.levi_edges(_triples(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("sent_idx").cast("int"), "node1", "node2", "label"
+    )
+
+
+@_register(
+    "kg_canonicalize_first_token",
+    f"""WITH {fixtures.gold_cte()},
+surfaces AS (
+  SELECT DISTINCT subj_surface AS surface FROM gold
+  UNION SELECT DISTINCT obj_surface FROM gold
+),
+keyed AS (SELECT surface, string_split(surface, ' ')[1] AS first_token FROM surfaces)
+SELECT k.surface AS surface, r.rep AS rep
+FROM keyed k JOIN (SELECT first_token, min(surface) AS rep FROM keyed GROUP BY 1) r
+  ON k.first_token = r.first_token""",
+)
+def kg_canonicalize_first_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 surface clustering: sorted representative per first token
+    (build_dataset.py:226-246 semantics) over extracted mention surfaces."""
+    t = _triples(spark, sf_dir)
+    surfaces = t.select(F.col("subj_surface").alias("surface")).unionByName(
+        t.select(F.col("obj_surface").alias("surface"))
+    )
+    return first_token_clusters(surfaces)
+
+
+_VOCAB_SPECIALS_SQL = ", ".join(f"('{w}', 0, {i})" for i, w in enumerate(vocab.SPECIALS))
+
+
+@_register(
+    "kg_vocab_topk",
+    f"""WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(replace(replace(text, ' < TSP > ', ' '), ' | ', ' '))), '\\s+')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word),
+ranked AS (
+  SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) + 6 AS INT) AS vocab_id
+  FROM counts
+)
+SELECT word, CAST(cnt AS BIGINT) AS cnt, vocab_id FROM ranked
+UNION ALL SELECT * FROM (VALUES {_VOCAB_SPECIALS_SQL}) s(word, cnt, vocab_id)""",
+)
+def kg_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: frequency-ranked vocabulary with 7 special tokens."""
+    return vocab.build_vocab(_docs(spark, sf_dir), "text")
+
+
+@_register(
+    "kg_relation2id",
+    f"""WITH {fixtures.gold_cte()},
+preds AS (SELECT DISTINCT pred FROM gold)
+SELECT pred, CAST(row_number() OVER (ORDER BY pred) AS INT) AS rel_id FROM preds
+UNION ALL SELECT 'None', 0""",
+)
+def kg_relation2id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct predicates → dense ids, 0 reserved for None
+    (webnlg_re_input.py:140-154)."""
+    t = _triples(spark, sf_dir).select("pred").distinct()
+    w = Window.orderBy("pred")
+    ranked = t.withColumn("rel_id", F.row_number().over(w))
+    none_row = t.sparkSession.createDataFrame([("None", 0)], "pred string, rel_id int")
+    return ranked.unionByName(none_row)
+
+
+@_register(
+    "kg_triple_support",
+    f"""WITH {fixtures.gold_cte()}
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM gold GROUP BY subj, pred, obj""",
+)
+def kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: support counts per distinct canonical triple."""
+    return (
+        _triples(spark, sf_dir)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@_register(
+    "kg_entry_cube",
+    f"""WITH {fixtures.gold_cte(include_xx=True)},
+tcat(t, category) AS (SELECT DISTINCT t, scat FROM tmpl),
+pages AS (
+  SELECT d.doc_id, tc.category, CAST(1 + d.doc_id % 3 AS INT) AS n_sent
+  FROM documents d JOIN tcat tc ON tc.t = (d.doc_id*7) % {len(fixtures.TEMPLATES)}
+)
+SELECT COALESCE(category, 'ALL') AS category,
+       COALESCE(n_sent, -1) AS n_sent,
+       CAST(count(*) AS BIGINT) AS n
+FROM pages GROUP BY CUBE(category, n_sent)""",
+)
+def kg_entry_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (`entry_count`): the 4 size/category cases as one CUBE."""
+    pages = fixtures.pages_from_documents(spark, sf_dir)
+    shaped = pages.select(
+        F.split("url", "/").getItem(3).alias("category"),
+        F.size(F.split("text", r" \. ")).alias("n_sent"),
+    )
+    return (
+        shaped.cube("category", "n_sent")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            F.coalesce("n_sent", F.lit(-1)).alias("n_sent"),
+            "n",
+        )
+    )
+
+
+@_register("kg_connected_components")  # rows-only: iterative, not ANSI-SQL
+def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based CC over the entity co-mention graph (salted/AQE path)."""
+    t = _triples(spark, sf_dir)
+    ids = (
+        t.select(F.col("subj").alias("name"))
+        .unionByName(t.select(F.col("obj").alias("name")))
+        .distinct()
+        .withColumn("node", F.abs(F.xxhash64("name")))
+    )
+    edges = (
+        t.join(ids.withColumnRenamed("name", "subj").withColumnRenamed("node", "src"), "subj")
+        .join(ids.withColumnRenamed("name", "obj").withColumnRenamed("node", "dst"), "obj")
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    return ids.join(comp, "node").select("name", "component")
+
+
+@_register("kg_paths_gtr")  # rows-only: per-example BFS serialization
+def kg_paths_gtr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: per-doc source→sink path serialization (gtr_seqs/gtr_jumps)."""
+    return graph.serialize_paths(_triples(spark, sf_dir), "doc_id")
+
+
+# ================================================== training-data family
+@_register(
+    "dedup_groups",
+    """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by normalized-content digest (all groups)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(norm).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@_register("dedup_minhash_pairs")  # rows-only: hash family not ANSI-SQL
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over documents."""
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+@_register("dedup_simhash")  # rows-only: bit-assembly not portable SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (pure DataFrame formulation)."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+@_register(
+    "text_quality",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> list_contains(['the','a','an','of','in','is','to','and','for','on','with','by','was','as','at','from'], x))) AS INT) AS n_stopwords,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_nonspace,
+       CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000
+             AND 100 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['the','a','an','of','in','is','to','and','for','on','with','by','was','as','at','from'], x)))
+                 >= len(regexp_split_to_array(trim(text), '\\s+'))
+             AND 2 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 >= length(regexp_replace(text, '\\s', '', 'g'))
+        THEN 1 ELSE 0 END AS INT) AS quality
+FROM documents""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gates in pure integer arithmetic."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lower = F.lower(F.col("text"))
+    sw = F.array([F.lit(w) for w in text_analysis.EN_STOPWORDS])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(F.split(F.trim(lower), r"\s+"), lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(lower, r"[^a-z]", ""))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    quality = (
+        n_tok.between(10, 10000) & (100 * n_sw >= n_tok) & (2 * n_alpha >= n_nonspace)
+    ).cast("int")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long"),
+        n_tok.cast("int").alias("n_tokens"),
+        n_sw.cast("int").alias("n_stopwords"),
+        n_alpha.cast("int").alias("n_alpha"),
+        n_nonspace.cast("int").alias("n_nonspace"),
+        quality.alias("quality"),
+    )
+
+
+@_register(
+    "lang_id_heuristic",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> list_contains(['the','a','an','of','in','is','to','and','for','on','with','by','was','as','at','from'], x))) AS INT) AS n_stopwords,
+       CASE WHEN 20 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> list_contains(['the','a','an','of','in','is','to','and','for','on','with','by','was','as','at','from'], x)))
+            >= len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-fraction language ID (integer threshold: 20*sw ≥ tok)."""
+    lower = F.lower(F.col("text"))
+    toks = F.split(F.trim(lower), r"\s+")
+    sw = F.array([F.lit(w) for w in text_analysis.EN_STOPWORDS])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long"),
+        n_tok.cast("int").alias("n_tokens"),
+        n_sw.cast("int").alias("n_stopwords"),
+        F.when(20 * n_sw >= n_tok, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of squeezed lowercase text."""
+    return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+
+@_register(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 query vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
+@_register("ann_cosine_lsh")  # rows-only: approximate by design
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path; recall measured in bench)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ===================================================== relational proof
+@_register(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (DECIMAL-exact money aggregation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event rollup (streaming-shaped agg, batch run)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+
+
+@_register(
+    "top_orders_per_segment",
+    """WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(rank AS INT) AS rank
+FROM (SELECT c_mktsegment, o_orderkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM j)
+WHERE rank <= 5""",
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 top-k idiom: top-5 orders by price per market segment."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "o_orderkey", F.col("rank").cast("int"))
     )

@@ -43,7 +43,10 @@ def get_spark(
         # Broadcast threshold: alias dictionaries / vocab tables are
         # dictionary-sized; let AQE upgrade joins aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode: the driver IS the executor — size the heap for all
+        # concurrent task buffers (measured: 8g chokes GC at 32 tasks of
+        # Arrow traffic, halving throughput; 24g restores linear scaling).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     builder = builder.master(master or f"local[{cpus}]")

@@ -1,0 +1,62 @@
+"""Canonicalization: first-token clustering (G5) + join-based CC."""
+
+import random
+
+from rdf_to_text_spark.operators.canonicalize import (
+    connected_components,
+    first_token_clusters,
+)
+
+
+def test_first_token_clusters_reference_semantics(spark):
+    """build_dataset.py:226-246: variants sharing a first token cluster;
+    representative = sorted()[0] (v.sort() at :243)."""
+    surfaces = spark.createDataFrame(
+        [("aarhus airport",), ("aarhus",), ("aarhus lufthavn",), ("kill rock stars",)],
+        "surface string",
+    )
+    got = {r.surface: r.rep for r in first_token_clusters(surfaces).collect()}
+    assert got["aarhus airport"] == "aarhus"
+    assert got["aarhus"] == "aarhus"
+    assert got["aarhus lufthavn"] == "aarhus"
+    assert got["kill rock stars"] == "kill rock stars"
+
+
+def _union_find_components(edges):
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical minimum per component
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(groups[find(n)]) for n in nodes}
+
+
+def test_connected_components_random_graph(spark):
+    random.seed(13)
+    edges = [(random.randrange(120), random.randrange(120)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    exp = _union_find_components(edges)
+    assert got == exp
+
+
+def test_connected_components_chain(spark):
+    """Path graph: worst case for star-contraction depth."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31

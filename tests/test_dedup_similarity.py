@@ -1,0 +1,87 @@
+"""Dedup ladder + similarity search operators."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rdf_to_text_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    docs = _docs(spark, ["a b c", "A  b C", "something else", "a b c"])
+    got = {r.digest: (r.keeper_id, r.n_docs) for r in dedup.exact_duplicates(docs).collect()}
+    assert len(got) == 1  # the whitespace/case-normalized 'a b c' group
+    ((keeper, n),) = got.values()
+    assert keeper == 0 and n == 3
+
+
+def test_dedup_keep_first(spark):
+    docs = _docs(spark, ["x y", "x y", "z"])
+    kept = sorted(r.doc_id for r in dedup.dedup_exact_keep_first(docs).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark shuffle partitions and arrow batches"
+    docs = _docs(spark, [base, near, far])
+    pairs = dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16).collect()
+    found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    assert (0, 1) in found and found[(0, 1)] > 0.5
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_minhash_identical_docs(spark):
+    docs = _docs(spark, ["same tokens here exactly", "same tokens here exactly"])
+    pairs = dedup.minhash_lsh_candidates(docs).collect()
+    assert len(pairs) == 1 and pairs[0].est_jaccard == 1.0
+
+
+def test_simhash_properties(spark):
+    docs = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"])
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d x", "q r s t u"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    # trigram sets: {abc,bcd,cde} vs {abc,bcd,cdx}: |∩|=2 |∪|=4 → 0.5
+    assert abs(got[(0, 1)] - 0.5) < 1e-9
+    assert got[(0, 2)] == 0.0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = similarity.cosine_topk_bruteforce(df, df.filter(F.col("vec_id") < 3), k=4)
+    got_rows = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    for q in range(3):
+        sims = (v64 @ v64[q]) / (norms * norms[q])
+        sims[q] = -np.inf
+        order = sorted(range(30), key=lambda i: (-sims[i], i))[:4]
+        for rank, nid in enumerate(order, 1):
+            assert got_rows[(q, rank)] == nid
+
+
+def test_lsh_buckets_deterministic(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(10, 64).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    b1 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(df).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(df).collect()}
+    assert b1 == b2
+    # same vector → same bucket; sanity on range
+    assert all(0 <= b < 256 for b in b1.values())

@@ -1,0 +1,110 @@
+"""Graph operators vs reference semantics (SURVEY.md G1-G7 goldens)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_to_text_spark.operators.graph import (
+    bfs_path_py,
+    levi_edges,
+    serialize_paths,
+    sources_and_sinks,
+)
+
+
+def _triples_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, sent_idx int, subj string, pred string, obj string"
+    )
+
+
+def test_levi_edges_basic(spark):
+    """A0: subj_head → pred ; A1: obj_head → pred (build_dataset.py:41-51)."""
+    df = _triples_df(spark, [(1, 0, "Aarhus_Airport", "cityServed", "Aarhus")])
+    got = {tuple(r) for r in levi_edges(df).select("node1", "node2", "label").collect()}
+    assert got == {("aarhus", "cityserved", "A0"), ("aarhus", "cityserved", "A1")}
+
+
+def test_levi_edges_ne(spark):
+    """NE edges: every tail token → head token (build_dataset.py:53-61)."""
+    df = _triples_df(spark, [(1, 0, "Kill_Rock_Stars", "recordLabel", "Abra_Moore")])
+    got = {
+        tuple(r)
+        for r in levi_edges(df, with_ne=True)
+        .select("node1", "node2", "label")
+        .collect()
+    }
+    assert ("rock", "kill", "NE") in got
+    assert ("stars", "kill", "NE") in got
+    assert ("moore", "abra", "NE") in got
+    assert ("kill", "recordlabel", "A0") in got
+
+
+# ---------------------------------------------------------------- G6 / G7
+def test_sources_and_sinks_dag(spark):
+    edges = spark.createDataFrame(
+        [(1, "a", "b"), (1, "b", "c")], "doc_id long, src string, dst string"
+    )
+    got = {r.node: (r.is_source, r.is_sink, r.is_cyclic) for r in sources_and_sinks(edges).collect()}
+    assert got["a"] == (True, False, False)
+    assert got["c"] == (False, True, False)
+    assert got["b"] == (False, False, False)
+
+
+def test_sources_and_sinks_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, "a", "b"), (1, "b", "a")], "doc_id long, src string, dst string"
+    )
+    rows = sources_and_sinks(edges).collect()
+    assert all(r.is_cyclic for r in rows)
+
+
+def test_bfs_path_chain():
+    """a -p-> b -q-> c: one path, serialized 'a p b q c', jump=5."""
+    res = bfs_path_py([("a", "p", "b"), ("b", "q", "c")])
+    assert res is not None
+    seq, jumps = res
+    assert seq == ["a", "p", "b", "q", "c"]
+    assert jumps == [5]
+
+
+def test_bfs_path_diamond():
+    """Diamond a→b→d, a→c→d: two source→sink paths from one source."""
+    res = bfs_path_py([("a", "p", "b"), ("a", "q", "c"), ("b", "r", "d"), ("c", "s", "d")])
+    assert res is not None
+    seq, jumps = res
+    # BFS shortest path to d goes through b (first-discovered); both
+    # 3-node paths share length; nx keeps the first predecessor.
+    assert seq[0] == "a"
+    assert len(jumps) == 1  # only d is a sink; b/c have out-degree > 0
+    assert seq == ["a", "p", "b", "r", "d"]
+
+
+def test_bfs_multi_source():
+    """Two sources pointing at one sink — both paths serialize, offsets accumulate."""
+    res = bfs_path_py([("a", "p", "c"), ("b", "q", "c")])
+    seq, jumps = res
+    assert seq == ["a", "p", "c", "b", "q", "c"]
+    assert jumps == [3, 6]
+
+
+def test_bfs_cyclic_dropped():
+    """Pure cycle → no sources/sinks → dropped (build_dataset.py:269-272)."""
+    assert bfs_path_py([("a", "p", "b"), ("b", "q", "a")]) is None
+
+
+def test_serialize_paths_spark(spark):
+    df = _triples_df(
+        spark,
+        [
+            (1, 0, "a", "p", "b"),
+            (1, 1, "b", "q", "c"),
+            (2, 0, "x", "p", "y"),
+            (2, 1, "y", "q", "x"),  # cyclic example
+        ],
+    )
+    rows = {r.example_id: r for r in serialize_paths(df, "doc_id").collect()}
+    assert rows[1].gtr_seq == "a p b q c"
+    assert list(rows[1].gtr_jumps) == [5]
+    assert rows[1].dropped_cyclic == 0
+    assert rows[2].dropped_cyclic == 1 and rows[2].gtr_seq is None

@@ -1,0 +1,42 @@
+"""Vocabulary build vs the reference's Counter semantics (A1/A2)."""
+
+import collections
+
+from rdf_to_text_spark.operators.vocab import SPECIALS, build_vocab, word_counts
+
+
+def _reference_get_words(lines):
+    """Literal reimplementation of build_vocab.py:11-17."""
+    words_box = []
+    for line in lines:
+        words_box.extend(line.replace(" < TSP > ", " ").replace(" | ", " ").lower().split())
+    return collections.Counter(words_box)
+
+
+LINES = [
+    "Aarhus_Airport | cityServed | Aarhus",
+    "ENTITIES_1 PLACE | location | ENTITIES_2 < TSP > ENTITIES_1 | country | Denmark",
+    "the city is served by the airport",
+    "the the the a a of",
+]
+
+
+def test_word_counts_match_counter(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "text string")
+    got = {r.word: r.cnt for r in word_counts(df).collect()}
+    exp = _reference_get_words(LINES)
+    assert got == dict(exp)
+
+
+def test_build_vocab_ranking(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "text string")
+    rows = sorted(build_vocab(df).collect(), key=lambda r: r.vocab_id)
+    # 7 specials first with ids 0..6 (build_vocab.py:36)
+    assert [r.word for r in rows[:7]] == SPECIALS
+    assert [r.vocab_id for r in rows[:7]] == list(range(7))
+    # corpus words: contiguous ids from 7, ordered by (cnt desc, word asc)
+    corpus = rows[7:]
+    assert corpus[0].word == "the" and corpus[0].cnt == 5
+    assert [r.vocab_id for r in corpus] == list(range(7, 7 + len(corpus)))
+    cnts = [(-r.cnt, r.word) for r in corpus]
+    assert cnts == sorted(cnts)
