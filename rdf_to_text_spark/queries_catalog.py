@@ -214,6 +214,156 @@ def kg_paths_gtr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.serialize_paths(_triples(spark, sf_dir), "doc_id")
 
 
+@_register(
+    "kg_detect_mentions",
+    f"""WITH {fixtures.gold_cte()}
+SELECT doc_id, subj_surface AS mention, subj AS entity FROM gold
+UNION ALL
+SELECT doc_id, obj_surface AS mention, obj AS entity FROM gold""",
+)
+def kg_detect_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 inverted: one Aho-Corasick pass per page over every alias
+    surface, longest-leftmost. The oracle knows exactly which mentions
+    each page carries (2 per non-filler sentence), so a multiset match
+    validates the automaton end-to-end."""
+    from .operators.extract import detect_mentions
+
+    pages = fixtures.pages_from_documents(spark, sf_dir).filter(F.col("lang") == "en")
+    m = detect_mentions(pages)
+    return m.select(F.col("doc_id").cast("long"), "mention", "entity")
+
+
+@_register(
+    "kg_linearize",
+    f"""WITH {fixtures.gold_cte()}
+SELECT doc_id,
+       string_agg(subj || '|' || pred || '|' || obj, '<TSP>' ORDER BY sent_idx) AS line,
+       CAST(count(*) AS INT) AS n_triples
+FROM gold GROUP BY doc_id""",
+)
+def kg_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: triple linearization `s|p|o` joined with `<TSP>` in sentence
+    order (webnlg_gcnonmt_input.py:176-183)."""
+    t = _triples(spark, sf_dir)
+    lined = t.select(
+        "doc_id",
+        F.struct(F.col("sent_idx"), F.concat_ws("|", "subj", "pred", "obj").alias("s")).alias("e"),
+    )
+    return (
+        lined.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["s"]), "<TSP>"
+            ).alias("line"),
+            F.count("*").cast("int").alias("n_triples"),
+        )
+        .select(F.col("doc_id").cast("long"), "line", "n_triples")
+    )
+
+
+@_register(
+    "kg_oov_tokens",
+    """WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) + 6 AS INT) AS vocab_id
+  FROM counts WHERE cnt >= 5
+),
+toks AS (
+  SELECT d.doc_id, g.i AS pos, list_extract(regexp_split_to_array(trim(lower(d.text)), '\\s+'), g.i) AS token
+  FROM documents d,
+       generate_series(1, 53) g(i)
+  WHERE g.i <= least(len(regexp_split_to_array(trim(lower(d.text)), '\\s+')), 53)
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(t.pos AS INT) AS pos, t.token AS token,
+       CAST(COALESCE(v.vocab_id, 3) AS INT) AS token_id
+FROM toks t LEFT JOIN vocab v ON t.token = v.word""",
+)
+def kg_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11+P12: truncate to max_enc_steps=53 tokens (utils/config.py:23),
+    map token → vocab id with <unk>=3 fallback (data_loader.py:53-57).
+    Vocabulary = words with count ≥ 5 (OOV exists by construction)."""
+    docs = _docs(spark, sf_dir)
+    counts = vocab.word_counts(docs, "text").filter(F.col("cnt") >= 5)
+    w = Window.orderBy(F.desc("cnt"), "word")
+    v = counts.withColumn("vocab_id", F.row_number().over(w) + 6).select("word", "vocab_id")
+    toks = docs.select(
+        F.col("doc_id").cast("long"),
+        F.posexplode(
+            F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 53)
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+    return toks.join(F.broadcast(v), toks.token == v.word, "left").select(
+        "doc_id", "pos", "token", F.coalesce("vocab_id", F.lit(3)).cast("int").alias("token_id")
+    )
+
+
+@_register(
+    "kg_corpus_stats",
+    """WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok FROM documents
+),
+mode_tok AS (SELECT n_tok FROM t GROUP BY n_tok ORDER BY count(*) DESC, n_tok LIMIT 1)
+SELECT CAST(max(t.n_tok) AS BIGINT) AS max_tokens,
+       CAST(min(t.n_tok) AS BIGINT) AS min_tokens,
+       CAST((SELECT n_tok FROM mode_tok) AS BIGINT) AS modal_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM t""",
+)
+def kg_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: corpus stats — max/min/modal token count (the np.bincount/
+    argmax mode of build_dataset.py:481-501 as groupBy+orderBy+limit)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"))
+    mode_row = (
+        t.groupBy("n_tok").count().orderBy(F.desc("count"), "n_tok").limit(1).select("n_tok")
+    )
+    return t.agg(
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.count("*").alias("n_docs"),
+    ).crossJoin(mode_row.select(F.col("n_tok").cast("long").alias("modal_tokens"))).select(
+        "max_tokens", "min_tokens", "modal_tokens", "n_docs"
+    )
+
+
+@_register(
+    "kg_first_seen_nodes",
+    f"""WITH {fixtures.gold_cte()},
+ordered AS (
+  SELECT doc_id, sent_idx, 1 AS slot, lower(string_split(subj, '_')[1]) AS node FROM gold
+  UNION ALL
+  SELECT doc_id, sent_idx, 2 AS slot, lower(string_split(obj, '_')[1]) AS node FROM gold
+),
+firsts AS (
+  SELECT doc_id, node, min(sent_idx * 2 + slot) AS first_pos
+  FROM ordered GROUP BY doc_id, node
+)
+SELECT doc_id, node,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) - 1 AS INT) AS node_id
+FROM firsts""",
+)
+def kg_first_seen_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: order-preserving node dedup — stable first-seen ids per doc
+    (`list({{}}.fromkeys(...))` + index(), data_loader.py:120-123)."""
+    t = _triples(spark, sf_dir)
+    head = lambda c: F.lower(F.split(F.col(c), "_").getItem(0))  # noqa: E731
+    ordered = t.select(
+        "doc_id", (F.col("sent_idx") * 2 + 1).alias("pos"), head("subj").alias("node")
+    ).unionByName(
+        t.select("doc_id", (F.col("sent_idx") * 2 + 2).alias("pos"), head("obj").alias("node"))
+    )
+    firsts = ordered.groupBy("doc_id", "node").agg(F.min("pos").alias("first_pos"))
+    w = Window.partitionBy("doc_id").orderBy("first_pos")
+    return firsts.select(
+        F.col("doc_id").cast("long"),
+        "node",
+        (F.row_number().over(w) - 1).cast("int").alias("node_id"),
+    )
+
+
 # ================================================== training-data family
 @_register(
     "dedup_groups",
@@ -378,6 +528,47 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+@_register(
+    "tpch_q3",
+    """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + decimal-exact revenue + top-10.
+
+    customer is broadcast (dimension-sized); orders⋈lineitem is the
+    shuffle join AQE plans; the LIMIT is driver-side after the agg."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(F.col("l_orderkey").cast("long"), "revenue", "o_orderdate")
     )
 
 
