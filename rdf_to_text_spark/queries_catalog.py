@@ -501,6 +501,138 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@_register(
+    "kg_edge_labels",
+    f"""WITH {fixtures.gold_cte()},
+edges AS (
+  SELECT doc_id, lower(string_split(subj, '_')[1]) AS src,
+         lower(pred) AS dst, 'A0' AS label FROM gold
+  UNION ALL
+  SELECT doc_id, lower(string_split(obj, '_')[1]) AS src,
+         lower(pred) AS dst, 'A1' AS label FROM gold
+)
+SELECT doc_id, src, dst,
+       list_sort(list(label)) AS labels
+FROM edges GROUP BY doc_id, src, dst""",
+)
+def kg_edge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 `getAllEdgeLabel`: multi-edge label lists per (src, dst)
+    (EntityGraph.py:18-23), sorted for determinism (W2)."""
+    from .operators.graph import levi_edges
+    from .operators.misc import edge_labels
+
+    e = levi_edges(_triples(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("node1").alias("src"),
+        F.col("node2").alias("dst"),
+        "label",
+    )
+    return edge_labels(e, keys=["doc_id"])
+
+
+@_register(
+    "ann_label_knn",
+    """WITH q AS (SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM q, c WHERE neighbor_id <> query_id
+),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS n
+  FROM scored WHERE rank <= 5 GROUP BY query_id, true_label, label
+),
+pred AS (
+  SELECT query_id, true_label, label AS pred_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label) AS r
+  FROM votes
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(true_label AS INT) AS true_label,
+       CAST(pred_label AS INT) AS pred_label
+FROM pred WHERE r = 1""",
+)
+def ann_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote: majority label among the 5 nearest neighbors —
+    the classic embedding-quality probe, built from the same top-k
+    skeleton (W5) + a vote window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    topk = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")),
+        "neighbor_id",
+    ).join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+        "query_id",
+    )
+    votes = labeled.groupBy("query_id", "true_label", "nlabel").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), "nlabel")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("true_label").cast("int"),
+            F.col("nlabel").cast("int").alias("pred_label"),
+        )
+    )
+
+
+@_register(
+    "events_sessionize",
+    """WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter + per-session rollup. In Structured Streaming the
+    same semantics come from `session_window`; the batch formulation
+    here is the oracle-checkable twin."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        F.col("user_id").cast("long"),
+        F.col("session_id").cast("int"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
 # ===================================================== relational proof
 @_register(
     "tpch_q1",
