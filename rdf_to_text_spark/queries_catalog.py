@@ -43,10 +43,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_TRIPLES_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction output (the real pipeline, not the gold shortcut)."""
-    pages = fixtures.pages_from_documents(spark, sf_dir)
-    return extract_pipeline(pages, use_html=True)
+    """Extraction output (the real pipeline, not the gold shortcut).
+
+    Several catalog queries consume the same extraction output; persist
+    it once per (session, sf_dir) so the render+extract stage runs once
+    when the driver iterates the catalog."""
+    key = (spark, sf_dir)  # session object as key: survives GC id-reuse
+    if key not in _TRIPLES_CACHE:
+        pages = fixtures.pages_from_documents(spark, sf_dir)
+        _TRIPLES_CACHE[key] = extract_pipeline(pages, use_html=True).persist()
+    return _TRIPLES_CACHE[key]
 
 
 # ============================================================== KG family
