@@ -84,6 +84,21 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # ANN quality: recall of the LSH path vs exact brute force
+    try:
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in queries_catalog.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+        }
+        lsh = {
+            (r.query_id, r.neighbor_id)
+            for r in queries_catalog.QUERIES["ann_cosine_lsh"](spark, SF_DIR).collect()
+        }
+        if brute:
+            extras["ann_lsh_recall"] = round(len(brute & lsh) / len(brute), 3)
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall_sec",

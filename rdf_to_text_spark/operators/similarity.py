@@ -68,54 +68,71 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket) random-hyperplane LSH signature (one int bucket).
+    """(vec_id, table, bucket) random-hyperplane LSH signatures.
 
-    The plane matrix is generated from a fixed seed inside the UDF —
+    `n_tables` independent hash tables (the standard recall amplifier:
+    true neighbors land together in ≥1 table with prob 1-(1-p)^L).
+    Plane matrices are generated from a fixed seed inside the UDF —
     identical on every executor without a broadcast round-trip.
     """
-    @F.pandas_udf(LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
-        planes = np.random.RandomState(seed).randn(dim, n_planes)
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).randn(dim, n_tables * n_planes)
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m @ planes) > 0  # (batch, n_planes)
+        signs = (m @ planes) > 0  # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(m), n_tables, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((signs @ weights).astype(np.int64))
+        return pd.Series((signs @ weights).astype(np.int64).tolist())
 
-    return vectors.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
+    )
 
 
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 12,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: same-bucket candidates, exact cosine re-rank.
+    """Approximate top-k: multi-table LSH candidates, exact cosine re-rank.
 
-    Recall < 1 by construction (single probe); the bench compares its
-    wall-clock and recall against the brute-force baseline.
+    Candidates = union over tables of same-(table, bucket) pairs, deduped
+    before the (expensive) exact scoring. Recall vs brute force is
+    measured in bench.py (`ann_lsh_recall`); n_planes/n_tables trade
+    candidate volume against recall.
     """
-    cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
-    qb = hyperplane_buckets(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
-    c = corpus.join(cb, id_col).select(
+    cb = hyperplane_buckets(corpus, n_planes, dim, n_tables=n_tables,
+                            id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_planes, dim, n_tables=n_tables,
+                            id_col=id_col, vec_col=vec_col)
+    cand = (
+        cb.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(qb.withColumnRenamed(id_col, "query_id")), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        "bucket",
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    q = queries.join(qb, id_col).select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
-        "bucket",
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("sim", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
         .select("query_id", "neighbor_id", "sim")
     )

@@ -80,8 +80,30 @@ def test_lsh_buckets_deterministic(spark):
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
     )
-    b1 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(df).collect()}
-    b2 = {r.vec_id: r.bucket for r in similarity.hyperplane_buckets(df).collect()}
+    b1 = {(r.vec_id, r.table): r.bucket
+          for r in similarity.hyperplane_buckets(df, n_tables=4).collect()}
+    b2 = {(r.vec_id, r.table): r.bucket
+          for r in similarity.hyperplane_buckets(df, n_tables=4).collect()}
     assert b1 == b2
-    # same vector → same bucket; sanity on range
+    assert len(b1) == 40  # 10 vectors x 4 tables
     assert all(0 <= b < 256 for b in b1.values())
+
+
+def test_lsh_topk_recall(spark):
+    """Multi-table LSH must recover most of the exact top-k."""
+    rng = np.random.RandomState(2)
+    # clustered vectors so neighbors actually exist
+    centers = rng.randn(4, 64) * 3
+    vecs = np.vstack([c + rng.randn(50, 64) for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    from pyspark.sql import functions as F
+
+    q = df.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk_bruteforce(df, q, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in similarity.cosine_topk_lsh(df, q, k=5).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.8, recall
