@@ -94,6 +94,44 @@ def hyperplane_buckets(
     )
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, sim) embedding-cosine near-duplicate pairs.
+
+    The dedup-ladder's semantic rung: LSH buckets prune the candidate
+    space (same multi-table construction as ANN), exact cosine keeps
+    pairs ≥ threshold. id_a < id_b, deduped across tables.
+    """
+    b = hyperplane_buckets(vectors, n_planes, dim, n_tables=n_tables,
+                           id_col=id_col, vec_col=vec_col)
+    cand = (
+        b.withColumnRenamed(id_col, "id_a")
+        .join(b.withColumnRenamed(id_col, "id_b"), ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    scored = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("sim", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+    return scored
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -504,6 +504,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("dedup_embedding_cosine")  # rows-only: LSH-pruned candidates
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups via LSH candidate pruning.
+
+    Threshold 0.35 on the driver's random embeddings (max pairwise sim
+    ≈ 0.51) so the rows-only check exercises real output; production
+    near-dup thresholds (≥0.9) are a parameter."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.35).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.round("sim", 4).alias("sim"),
+    )
+
+
 @_register("ann_cosine_lsh")  # rows-only: approximate by design
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path; recall measured in bench)."""

@@ -89,6 +89,20 @@ def test_lsh_buckets_deterministic(spark):
     assert all(0 <= b < 256 for b in b1.values())
 
 
+def test_embedding_near_dups(spark):
+    """Planted near-duplicate vectors must surface; random pairs must not."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 64).astype("float32")
+    dup = (base[0] + rng.randn(64).astype("float32") * 0.01)  # near-dup of vec 0
+    vecs = np.vstack([base, dup[None, :]])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r.id_a, r.id_b): r.sim for r in similarity.embedding_near_dups(df, 0.95).collect()}
+    assert (0, 20) in pairs and pairs[(0, 20)] > 0.99
+    assert all(a == 0 and b == 20 for (a, b) in pairs)  # no false positives
+
+
 def test_lsh_topk_recall(spark):
     """Multi-table LSH must recover most of the exact top-k."""
     rng = np.random.RandomState(2)
