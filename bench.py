@@ -96,6 +96,12 @@ def main() -> None:
         }
         if brute:
             extras["ann_lsh_recall"] = round(len(brute & lsh) / len(brute), 3)
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in queries_catalog.QUERIES["ann_cosine_ivf"](spark, SF_DIR).collect()
+        }
+        if brute:
+            extras["ann_ivf_recall"] = round(len(brute & ivf) / len(brute), 3)
     except Exception:
         pass
 

@@ -94,6 +94,79 @@ def hyperplane_buckets(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + multi-probe exact re-rank.
+
+    The other classic ANN scale path (vs LSH): partition the corpus into
+    `n_cells` k-means cells (pyspark.ml, fitted on the corpus), assign
+    each query to its `n_probe` nearest centroids, and run the exact
+    scorer only inside probed cells. At 10^9 vectors the cells become
+    the physical partitioning (write bucketed by cell id) so a probe
+    touches n_probe/n_cells of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn(
+        "_features", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_vec)
+    centers = model.clusterCenters()
+
+    c = model.transform(with_vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("prediction").alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+
+    # query → n_probe nearest centroids, engine-side (centroids are tiny)
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)]
+    cent = spark.createDataFrame(cent_rows, "cell int, center array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("qv", "center", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = qc.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= n_probe
+    ).select("query_id", "qv", "cell")
+
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "sim")
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

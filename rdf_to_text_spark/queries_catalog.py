@@ -518,6 +518,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_cosine_ivf")  # rows-only: approximate by design
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells + multi-probe); recall measured in bench."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=5)
+
+
 @_register("ann_cosine_lsh")  # rows-only: approximate by design
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path; recall measured in bench)."""
