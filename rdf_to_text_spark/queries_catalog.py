@@ -736,6 +736,74 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tpch_q5",
+    """SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join (two broadcast dims, local-supplier
+    correlation) + decimal-exact revenue per nation."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    r = rd("region").filter(F.col("r_name") == "ASIA")
+    n = rd("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = rd("customer")
+    o = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = rd("lineitem")
+    s = rd("supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "orders_running_total",
+    """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders WHERE o_custkey < 100""",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window: per-customer running revenue in order-date
+    order (decimal-exact; rows-unbounded-preceding frame)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        F.col("o_custkey").cast("long"),
+        F.col("o_orderkey").cast("long"),
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@_register(
     "events_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
