@@ -40,7 +40,7 @@ def first_token_clusters(surfaces: DataFrame, surface_col: str = "surface") -> D
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 12, check_every: int = 1
+    edges: DataFrame, max_iter: int = 16, check_every: int = 2
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
@@ -94,9 +94,12 @@ def connected_components(
             .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
             .distinct()
         )
-        new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
-        e = new_e
+        # Checkpoint + convergence-probe only every `check_every` rounds:
+        # an eager localCheckpoint per round (full edge-set write+read)
+        # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
+            new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
+            e = new_e
             # converged when every remaining edge points at a root:
             # src of every edge is a component minimum (no chain left).
             chained = new_e.alias("a").join(
@@ -104,6 +107,8 @@ def connected_components(
             )
             if chained.isEmpty():
                 break
+        else:
+            e = new_e
     comp = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     roots = e.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
