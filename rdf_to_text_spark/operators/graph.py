@@ -189,6 +189,54 @@ def bfs_path_py(edges: list[tuple[str, str, str]]) -> tuple[list[str], list[int]
     return graph_seq, jumps
 
 
+def distributed_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """G7's scale path: BFS levels via iterative frontier joins.
+
+    The reference's per-example graphs are ≤7 edges, so
+    :func:`serialize_paths` runs whole-graph BFS inside a grouped UDF.
+    For graphs too large for one group (the KG itself — millions of
+    nodes), this is the distributed analog: each round joins the
+    frontier to the edge table and anti-joins already-visited nodes.
+
+    edges: (src, dst); sources: (node). Returns (node, depth, root) —
+    shortest hop count from the nearest source (first-source-wins by
+    min root for determinism, W2).
+
+    Scale notes: each round is one shuffle join on src; the visited set
+    stays partitioned by node; rounds = graph diameter (bounded by
+    max_depth). Head-node fan-out is AQE-skew-split.
+    """
+    frontier = sources.select(
+        F.col("node"), F.lit(0).alias("depth"), F.col("node").alias("root")
+    )
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.lit(depth).alias("depth"),
+                F.col("root"),
+            )
+            .groupBy("node", "depth")
+            .agg(F.min("root").alias("root"))
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).groupBy("node").agg(
+            F.min("depth").alias("depth"), F.min("root").alias("root")
+        )
+        visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def serialize_paths(triples: DataFrame, example_col: str = "doc_id") -> DataFrame:
     """G7 over a triples DataFrame: one (gtr_seq, gtr_jumps) row per
     example; cyclic examples emit dropped_cyclic=1 with null sequence."""
