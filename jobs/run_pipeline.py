@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="output base dir (edges/ lineage/)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="after extraction, run first-token clustering + connected "
+        "components over mention surfaces and write the canonical entity "
+        "table (entities_canonical/) alongside edges/",
+    )
     args = ap.parse_args()
 
     from rdf_to_text_spark import fixtures
@@ -59,6 +66,49 @@ def main() -> int:
         "entities_total": sink.entities().count(),
         "wall_sec": round(time.time() - t0, 2),
     }
+
+    if args.canonicalize:
+        # the full north-star tail: surface clustering (G5) shrinks the
+        # graph, then join-based CC resolves transitive clusters; the
+        # canonical entity table lands bucketed next to edges/
+        from pyspark.sql import functions as F
+
+        from rdf_to_text_spark.operators.canonicalize import (
+            connected_components,
+            first_token_clusters,
+        )
+
+        edges = sink.edges()
+        surfaces = edges.select(F.col("subj").alias("surface")).unionByName(
+            edges.select(F.col("obj").alias("surface"))
+        )
+        clusters = first_token_clusters(
+            surfaces.select(F.regexp_replace("surface", "_", " ").alias("surface"))
+        )
+        # CC over the surface→representative graph: transitive chains
+        # (a rep that is itself a variant elsewhere) collapse into one
+        # component; node ids are surface hashes.
+        nodes = clusters.select("surface").unionByName(
+            clusters.select(F.col("rep").alias("surface"))
+        ).distinct().withColumn("node", F.abs(F.xxhash64("surface")))
+        cc_edges = clusters.select(
+            F.abs(F.xxhash64("surface")).alias("src"),
+            F.abs(F.xxhash64("rep")).alias("dst"),
+        )
+        comp = connected_components(cc_edges, max_iter=8)
+        canonical = (
+            nodes.join(comp, "node", "left")
+            # surfaces that are their own rep have only self-loop edges
+            # (filtered by CC) → singleton components of themselves
+            .withColumn("component", F.coalesce("component", "node"))
+            .groupBy("component")
+            .agg(
+                F.min("surface").alias("canonical"),
+                F.sort_array(F.collect_set("surface")).alias("surfaces"),
+            )
+        )
+        canonical.write.mode("overwrite").parquet(f"{args.output}/entities_canonical")
+        summary["canonical_entities"] = canonical.count()
     print(json.dumps(summary))
     spark.stop()
     return 0

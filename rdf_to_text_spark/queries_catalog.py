@@ -214,7 +214,9 @@ def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.withColumnRenamed("name", "obj").withColumnRenamed("node", "dst"), "obj")
         .select("src", "dst")
     )
-    comp = connected_components(edges)
+    # the co-mention graph is entity-count sized; cap rounds so worst-case
+    # wall under host contention stays bounded (converges in ~4 here)
+    comp = connected_components(edges, max_iter=8)
     return ids.join(comp, "node").select("name", "component")
 
 
