@@ -68,44 +68,17 @@ def main() -> int:
     }
 
     if args.canonicalize:
-        # the full north-star tail: surface clustering (G5) shrinks the
-        # graph, then join-based CC resolves transitive clusters; the
-        # canonical entity table lands bucketed next to edges/
+        # the full north-star tail: G5 clustering + join-based CC
         from pyspark.sql import functions as F
 
-        from rdf_to_text_spark.operators.canonicalize import (
-            connected_components,
-            first_token_clusters,
-        )
+        from rdf_to_text_spark.operators.canonicalize import canonical_entity_table
 
         edges = sink.edges()
         surfaces = edges.select(F.col("subj").alias("surface")).unionByName(
             edges.select(F.col("obj").alias("surface"))
         )
-        clusters = first_token_clusters(
+        canonical = canonical_entity_table(
             surfaces.select(F.regexp_replace("surface", "_", " ").alias("surface"))
-        )
-        # CC over the surface→representative graph: transitive chains
-        # (a rep that is itself a variant elsewhere) collapse into one
-        # component; node ids are surface hashes.
-        nodes = clusters.select("surface").unionByName(
-            clusters.select(F.col("rep").alias("surface"))
-        ).distinct().withColumn("node", F.abs(F.xxhash64("surface")))
-        cc_edges = clusters.select(
-            F.abs(F.xxhash64("surface")).alias("src"),
-            F.abs(F.xxhash64("rep")).alias("dst"),
-        )
-        comp = connected_components(cc_edges, max_iter=8)
-        canonical = (
-            nodes.join(comp, "node", "left")
-            # surfaces that are their own rep have only self-loop edges
-            # (filtered by CC) → singleton components of themselves
-            .withColumn("component", F.coalesce("component", "node"))
-            .groupBy("component")
-            .agg(
-                F.min("surface").alias("canonical"),
-                F.sort_array(F.collect_set("surface")).alias("surfaces"),
-            )
         )
         canonical.write.mode("overwrite").parquet(f"{args.output}/entities_canonical")
         summary["canonical_entities"] = canonical.count()

@@ -128,3 +128,35 @@ def canonical_entities(triples: DataFrame) -> DataFrame:
         triples.select(F.col("obj_surface").alias("surface"))
     )
     return first_token_clusters(surfaces)
+
+
+def canonical_entity_table(surfaces: DataFrame) -> DataFrame:
+    """The full canonicalization tail (north_rule): first-token
+    clustering (G5) shrinks the graph, then join-based CC resolves
+    transitive surface↔representative chains; singleton clusters (whose
+    only CC edge would be a self-loop) survive via left-join+coalesce.
+
+    surfaces: one column ``surface``. Output:
+    (component, canonical, surfaces: array<string>).
+    """
+    clusters = first_token_clusters(surfaces)
+    nodes = (
+        clusters.select("surface")
+        .unionByName(clusters.select(F.col("rep").alias("surface")))
+        .distinct()
+        .withColumn("node", F.abs(F.xxhash64("surface")))
+    )
+    cc_edges = clusters.select(
+        F.abs(F.xxhash64("surface")).alias("src"),
+        F.abs(F.xxhash64("rep")).alias("dst"),
+    )
+    comp = connected_components(cc_edges, max_iter=8)
+    return (
+        nodes.join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", "node"))
+        .groupBy("component")
+        .agg(
+            F.min("surface").alias("canonical"),
+            F.sort_array(F.collect_set("surface")).alias("surfaces"),
+        )
+    )

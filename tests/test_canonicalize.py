@@ -53,6 +53,28 @@ def test_connected_components_random_graph(spark):
     assert got == exp
 
 
+def test_canonical_entity_table(spark):
+    """G5 + CC tail: transitive chains merge; singletons survive."""
+    from rdf_to_text_spark.operators.canonicalize import canonical_entity_table
+
+    surfaces = spark.createDataFrame(
+        [
+            ("aarhus",),
+            ("aarhus airport",),
+            ("aarhus lufthavn",),
+            ("kill rock stars",),   # singleton cluster (own rep)
+            ("denmark",),           # singleton
+        ],
+        "surface string",
+    )
+    rows = canonical_entity_table(surfaces).collect()
+    by_canon = {r.canonical: sorted(r.surfaces) for r in rows}
+    assert by_canon["aarhus"] == ["aarhus", "aarhus airport", "aarhus lufthavn"]
+    assert by_canon["kill rock stars"] == ["kill rock stars"]
+    assert by_canon["denmark"] == ["denmark"]
+    assert len(rows) == 3
+
+
 def test_connected_components_chain(spark):
     """Path graph: worst case for star-contraction depth."""
     edges = [(i, i + 1) for i in range(30)]
