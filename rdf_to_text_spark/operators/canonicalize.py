@@ -39,17 +39,69 @@ def first_token_clusters(surfaces: DataFrame, surface_col: str = "surface") -> D
     )
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One alternating large-star + small-star contraction round over a
+    canonical (src<dst, distinct) edge set; returns the canonical result."""
+    # ---- large-star: u -> all neighbors (both directions), attach
+    # strictly larger neighbors to the min of the neighborhood.
+    nbrs = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("m", "src"))
+    large = (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    # ---- small-star: attach ≤ neighbors (and self) to the min.
+    small_nbrs = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    smins = small_nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+    small = (
+        small_nbrs.join(smins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(smins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return (
+        large.unionByName(small)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+
+
+def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """True iff two canonical (distinct) edge sets are identical.
+
+    Both inputs are distinct, so A\\B = ∅ together with |A| = |B|
+    implies equality (one exceptAll + two counts, cheaper than two
+    exceptAlls on the by-then-contracted edge set)."""
+    return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 16, check_every: int = 2
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     edges: (src long, dst long), undirected interpretation. Implements
-    alternating large-star/small-star:
+    alternating large-star/small-star (Kiveris et al.):
 
       large-star: for each node u, connect every strictly-larger
                   neighbor to min(neighbors ∪ {u});
       small-star: connect every ≤-neighbor to the minimum.
+
+    Convergence is probed at the TRUE fixed point — the canonical edge
+    set unchanged across one full round. The earlier heuristic probe
+    ("no edge src appears as any dst") was unsound: two stars sharing
+    leaves pass it while unconverged (repro edges in
+    tests/test_canonicalize.py::test_cc_shared_leaf_stars_regression),
+    silently splitting components on ~0.4% of small random graphs.
+    If `max_iter` rounds exhaust without reaching the fixed point the
+    function raises rather than returning a partially-contracted —
+    i.e. silently wrong — component table.
 
     Each iteration is a groupBy on node — the natural salting point for
     head-entity skew: the groupBy key is already the node id, so AQE
@@ -64,51 +116,31 @@ def connected_components(
         )
         .distinct()
     )
-    # seed: parent = min neighbor (or self)
+    converged = False
     for i in range(max_iter):
-        # ---- large-star: u -> all neighbors (both directions), attach
-        # strictly larger neighbors to the min of the neighborhood.
-        nbrs = e.select("src", "dst").unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
-        mins = mins.withColumn("m", F.least("m", "src"))
-        large = (
-            nbrs.join(mins, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-        # ---- small-star: attach ≤ neighbors (and self) to the min.
-        small_nbrs = e.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        smins = small_nbrs.groupBy("src").agg(F.min("dst").alias("m"))
-        small = (
-            small_nbrs.join(smins, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(smins.select(F.col("src"), F.col("m").alias("dst")))
-        )
-        new_e = (
-            large.unionByName(small)
-            .filter(F.col("src") != F.col("dst"))
-            .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-            .distinct()
-        )
+        new_e = _star_round(e)
         # Checkpoint + convergence-probe only every `check_every` rounds:
         # an eager localCheckpoint per round (full edge-set write+read)
         # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
             new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
-            e = new_e
-            # converged when every remaining edge points at a root:
-            # src of every edge is a component minimum (no chain left).
-            chained = new_e.alias("a").join(
-                new_e.alias("b"), F.col("a.src") == F.col("b.dst"), "left_semi"
-            )
-            if chained.isEmpty():
+            if _edge_sets_equal(new_e, e):
+                e = new_e
+                converged = True
                 break
-        else:
-            e = new_e
+        e = new_e
+    if not converged:
+        # The loop may have hit the fixed point on an unprobed round:
+        # verify with one extra (cheap, post-contraction) round before
+        # declaring failure. Truncated contraction must fail LOUDLY —
+        # a partially-contracted edge set maps nodes to wrong components.
+        probe = _star_round(e).localCheckpoint(eager=True)
+        if not _edge_sets_equal(probe, e):
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "raise max_iter (rounds needed ≈ log2 of the longest chain)"
+            )
+        e = probe
     comp = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     roots = e.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

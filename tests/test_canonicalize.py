@@ -75,6 +75,34 @@ def test_canonical_entity_table(spark):
     assert len(rows) == 3
 
 
+def test_cc_shared_leaf_stars_regression(spark):
+    """Regression: the round-1 convergence probe ('no edge src appears as
+    any dst') fired on a state of two stars sharing leaves while the
+    graph was NOT converged, emitting node 361 as its own component
+    instead of 107 (~0.4% of random small graphs in a 30k-trial fuzz).
+    The fixed-point probe must keep iterating until the edge set is
+    stable across a full round."""
+    edges = [
+        (890, 392), (624, 107), (392, 673), (673, 489),
+        (489, 890), (361, 489), (392, 624), (489, 361),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    exp = _union_find_components(edges)
+    assert got == exp  # in particular got[361] == 107
+
+
+def test_cc_max_iter_exhaustion_raises(spark):
+    """Truncated contraction must fail loudly, not return split
+    components (ADVICE r1: silent partial contraction)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
 def test_connected_components_chain(spark):
     """Path graph: worst case for star-contraction depth."""
     edges = [(i, i + 1) for i in range(30)]
