@@ -72,13 +72,27 @@ def _star_round(e: DataFrame) -> DataFrame:
     )
 
 
-def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
-    """True iff two canonical (distinct) edge sets are identical.
+def _is_min_rooted_star_forest(e: DataFrame) -> bool:
+    """True iff the canonical edge set is a disjoint min-rooted star
+    forest — which is exactly the set of fixed points of the alternating
+    large-star/small-star round:
 
-    Both inputs are distinct, so A\\B = ∅ together with |A| = |B|
-    implies equality (one exceptAll + two counts, cheaper than two
-    exceptAlls on the by-then-contracted edge set)."""
-    return a.count() == b.count() and a.exceptAll(b).isEmpty()
+      (a) no edge src appears as any edge dst (roots are not leaves), and
+      (b) every dst has exactly one src (stars are disjoint).
+
+    (a) alone — the round-1 probe — is unsound: two stars sharing leaves
+    satisfy it while a further round still merges them. Conversely a
+    state failing (b) is provably not fixed (small-star at the shared
+    leaf links its two roots), so (a)∧(b) ⇔ fixed point. Both checks
+    run on `e` only (probe it right after a checkpoint: two short jobs,
+    no lineage recomputation)."""
+    multi_parent = e.groupBy("dst").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    if not multi_parent.isEmpty():
+        return False
+    chained = e.alias("a").join(
+        e.alias("b"), F.col("a.src") == F.col("b.dst"), "left_semi"
+    )
+    return chained.isEmpty()
 
 
 def connected_components(
@@ -93,8 +107,9 @@ def connected_components(
                   neighbor to min(neighbors ∪ {u});
       small-star: connect every ≤-neighbor to the minimum.
 
-    Convergence is probed at the TRUE fixed point — the canonical edge
-    set unchanged across one full round. The earlier heuristic probe
+    Convergence is probed at the TRUE fixed point — the edge set is a
+    disjoint min-rooted star forest (see
+    :func:`_is_min_rooted_star_forest`). The earlier heuristic probe
     ("no edge src appears as any dst") was unsound: two stars sharing
     leaves pass it while unconverged (repro edges in
     tests/test_canonicalize.py::test_cc_shared_leaf_stars_regression),
@@ -124,23 +139,21 @@ def connected_components(
         # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
             new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
-            if _edge_sets_equal(new_e, e):
+            if _is_min_rooted_star_forest(new_e):
                 e = new_e
                 converged = True
                 break
         e = new_e
     if not converged:
-        # The loop may have hit the fixed point on an unprobed round:
-        # verify with one extra (cheap, post-contraction) round before
-        # declaring failure. Truncated contraction must fail LOUDLY —
-        # a partially-contracted edge set maps nodes to wrong components.
-        probe = _star_round(e).localCheckpoint(eager=True)
-        if not _edge_sets_equal(probe, e):
+        # The loop may have hit the fixed point on an unprobed round.
+        # Truncated contraction must fail LOUDLY — a partially-contracted
+        # edge set maps nodes to wrong components.
+        e = e.localCheckpoint(eager=True)
+        if not _is_min_rooted_star_forest(e):
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds; "
                 "raise max_iter (rounds needed ≈ log2 of the longest chain)"
             )
-        e = probe
     comp = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     roots = e.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -237,11 +237,25 @@ def distributed_bfs(
     return visited
 
 
-def serialize_paths(triples: DataFrame, example_col: str = "doc_id") -> DataFrame:
+def serialize_paths(
+    triples: DataFrame, example_col: str = "doc_id", order_col: str = "sent_idx"
+) -> DataFrame:
     """G7 over a triples DataFrame: one (gtr_seq, gtr_jumps) row per
-    example; cyclic examples emit dropped_cyclic=1 with null sequence."""
+    example; cyclic examples emit dropped_cyclic=1 with null sequence.
+
+    Edges within an example are processed in `order_col` order (the
+    reference reads triples in file order, build_dataset.py:274-288);
+    rows arriving at the grouped UDF carry no order guarantee, so the
+    sort inside the group is what makes the serialization deterministic
+    (and therefore oracle-checkable). Pass order_col=None to accept
+    arrival order."""
+    cols = [F.col(example_col).cast("long").alias(example_col), "subj", "pred", "obj"]
+    if order_col:
+        cols.insert(1, F.col(order_col))
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_col:
+            pdf = pdf.sort_values(order_col)
         edges = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
         res = bfs_path_py(edges)
         if res is None:
@@ -255,8 +269,4 @@ def serialize_paths(triples: DataFrame, example_col: str = "doc_id") -> DataFram
             columns=["example_id", "gtr_seq", "gtr_jumps", "dropped_cyclic"],
         )
 
-    return (
-        triples.select(F.col(example_col).cast("long").alias(example_col), "subj", "pred", "obj")
-        .groupBy(example_col)
-        .applyInPandas(run, PATHS_SCHEMA)
-    )
+    return triples.select(*cols).groupBy(example_col).applyInPandas(run, PATHS_SCHEMA)

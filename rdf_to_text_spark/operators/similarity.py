@@ -205,6 +205,32 @@ def embedding_near_dups(
     return scored
 
 
+def embedding_near_dups_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, sim) exact all-pairs embedding-cosine near-dups.
+
+    The brute-force twin of :func:`embedding_near_dups`: O(N²/2) pairs,
+    engine-side math only. Correctness baseline for the LSH-pruned path
+    (and the oracle-checkable catalog entry) — viable to ~10⁵ vectors;
+    beyond that the LSH variant is the plan."""
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -199,9 +199,27 @@ def kg_entry_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("kg_connected_components")  # rows-only: iterative, not ANSI-SQL
+@_register(
+    "kg_connected_components",
+    f"""WITH RECURSIVE {fixtures.gold_cte()},
+nodes AS (SELECT subj AS name FROM gold UNION SELECT obj FROM gold),
+e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM gold WHERE subj <> obj),
+sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(node, lab) AS (
+  SELECT name, name FROM nodes
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS name, min(lab) AS component FROM reach GROUP BY node""",
+)
 def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-based CC over the entity co-mention graph (salted/AQE path)."""
+    """Join-based CC over the entity triple graph (salted/AQE path).
+
+    Component label = lexicographic-min entity name in the component,
+    which both engines can compute deterministically (the oracle is a
+    DuckDB recursive min-label closure over the same edge set). Spark
+    runs the star-contraction on xxhash64 node ids internally, then
+    re-labels each component with its min name."""
     t = _triples(spark, sf_dir)
     ids = (
         t.select(F.col("subj").alias("name"))
@@ -217,13 +235,103 @@ def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the co-mention graph is entity-count sized; cap rounds so worst-case
     # wall under host contention stays bounded (converges in ~4 here)
     comp = connected_components(edges, max_iter=8)
-    return ids.join(comp, "node").select("name", "component")
+    named = ids.join(comp, "node", "left").withColumn(
+        "component", F.coalesce("component", "node")  # isolated (self-loop-only) nodes
+    )
+    comp_min = named.groupBy("component").agg(F.min("name").alias("comp_name"))
+    return named.join(comp_min, "component").select(
+        "name", F.col("comp_name").alias("component")
+    )
 
 
-@_register("kg_paths_gtr")  # rows-only: per-example BFS serialization
+@_register(
+    "kg_paths_gtr",
+    f"""WITH {fixtures.gold_cte()},
+edges AS (  -- DiGraph semantics: one edge per (u,v); later pred overwrites,
+            -- adjacency position = first occurrence (python dict insert order)
+  SELECT doc_id, subj AS u, obj AS v,
+         max_by(pred, sent_idx) AS pred, min(sent_idx) AS eord
+  FROM gold GROUP BY doc_id, subj, obj
+),
+nodepos AS (  -- node insertion order: subj then obj, edge by edge
+  SELECT doc_id, node, min(pos) AS npos FROM (
+    SELECT doc_id, subj AS node, sent_idx*2 AS pos FROM gold
+    UNION ALL SELECT doc_id, obj, sent_idx*2 + 1 FROM gold
+  ) GROUP BY doc_id, node
+),
+deg AS (
+  SELECT np.doc_id, np.node, np.npos,
+         coalesce(i.c, 0) AS indeg, coalesce(o.c, 0) AS outdeg
+  FROM nodepos np
+  LEFT JOIN (SELECT doc_id, v AS node, count(*) AS c FROM edges GROUP BY 1, 2) i
+    ON i.doc_id = np.doc_id AND i.node = np.node
+  LEFT JOIN (SELECT doc_id, u AS node, count(*) AS c FROM edges GROUP BY 1, 2) o
+    ON o.doc_id = np.doc_id AND o.node = np.node
+),
+sources AS (SELECT doc_id, node AS s, npos AS s_npos FROM deg WHERE indeg = 0),
+sinks AS (SELECT doc_id, node FROM deg WHERE outdeg = 0),
+d1 AS (  -- BFS depth 1: all of s's objects, adjacency order
+  SELECT so.doc_id, so.s, so.s_npos, e.v AS node, e.eord AS k1, e.pred AS p1
+  FROM sources so JOIN edges e ON e.doc_id = so.doc_id AND e.u = so.s
+),
+d2cand AS (
+  SELECT x.doc_id, x.s, x.s_npos, x.node AS mid, x.k1, x.p1,
+         e.v AS node, e.eord AS k2, e.pred AS p2
+  FROM d1 x JOIN edges e ON e.doc_id = x.doc_id AND e.u = x.node
+),
+d2 AS (  -- depth 2: unseen nodes; prev = first-discovering depth-1 parent
+         -- (k1*100 + k2 is a scalar lexicographic key: eord < 100 always
+         --  holds here because sent_idx ∈ {0,1,2})
+  SELECT c.doc_id, c.s, c.s_npos, c.node,
+         min_by(c.mid, c.k1 * 100 + c.k2) AS mid,
+         min_by(c.p1, c.k1 * 100 + c.k2) AS p1,
+         min_by(c.p2, c.k1 * 100 + c.k2) AS p2,
+         min(c.k1) AS k1, min_by(c.k2, c.k1 * 100 + c.k2) AS k2
+  FROM d2cand c
+  LEFT JOIN d1 seen ON seen.doc_id = c.doc_id AND seen.s = c.s AND seen.node = c.node
+  WHERE seen.node IS NULL AND c.node <> c.s
+  GROUP BY c.doc_id, c.s, c.s_npos, c.node
+),
+paths AS (  -- only paths ending at sinks are serialized
+  SELECT p.doc_id, p.s_npos, 1 AS depth, p.k1, 0 AS k2,
+         p.s || ' ' || p.p1 || ' ' || p.node AS elems, 3 AS toks
+  FROM d1 p JOIN sinks k ON k.doc_id = p.doc_id AND k.node = p.node
+  UNION ALL
+  SELECT p.doc_id, p.s_npos, 2 AS depth, p.k1, p.k2,
+         p.s || ' ' || p.p1 || ' ' || p.mid || ' ' || p.p2 || ' ' || p.node, 5
+  FROM d2 p JOIN sinks k ON k.doc_id = p.doc_id AND k.node = p.node
+),
+cum AS (
+  SELECT doc_id, s_npos, depth, k1, k2, elems,
+         sum(toks) OVER (PARTITION BY doc_id ORDER BY s_npos, depth, k1, k2
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM paths
+)
+SELECT CAST(doc_id AS BIGINT) AS example_id,
+       string_agg(elems, ' ' ORDER BY s_npos, depth, k1, k2) AS gtr_seq,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY s_npos, depth, k1, k2) AS gtr_jumps,
+       CAST(0 AS INT) AS dropped_cyclic
+FROM cum GROUP BY doc_id""",
+)
 def kg_paths_gtr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7: per-doc source→sink path serialization (gtr_seqs/gtr_jumps)."""
-    return graph.serialize_paths(_triples(spark, sf_dir), "doc_id")
+    """G7: per-doc source→sink path serialization (gtr_seqs/gtr_jumps,
+    build_dataset.py:274-288), edges in sent_idx order (file order).
+
+    gtr_jumps is emitted comma-joined (the driver's hash canonicalizer
+    needs scalar columns). The oracle replays the BFS in SQL exploiting
+    two fixture invariants the general operator does NOT assume: the
+    per-doc graph is acyclic (subject pools never point back at their
+    sources) and has diameter ≤ 2 (the only mid nodes are Cities), so a
+    fixed two-level expansion covers every shortest path; general
+    shapes (cycles, deeper chains, diamonds) are golden-tested in
+    tests/test_graph_ops.py."""
+    out = graph.serialize_paths(_triples(spark, sf_dir), "doc_id")
+    return out.select(
+        "example_id",
+        "gtr_seq",
+        F.array_join(F.col("gtr_jumps").cast("array<string>"), ",").alias("gtr_jumps"),
+        "dropped_cyclic",
+    )
 
 
 @_register(
@@ -506,22 +614,71 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_embedding_cosine")  # rows-only: LSH-pruned candidates
+@_register(
+    "dedup_embedding_cosine",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35""",
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dups via LSH candidate pruning.
+    """Exact embedding-cosine near-dup pairs (the correctness baseline;
+    the LSH-pruned scale path is `dedup_embedding_cosine_lsh`).
 
     Threshold 0.35 on the driver's random embeddings (max pairwise sim
-    ≈ 0.51) so the rows-only check exercises real output; production
-    near-dup thresholds (≥0.9) are a parameter."""
+    ≈ 0.51) so the check exercises real output; production near-dup
+    thresholds (≥0.9) are a parameter. The float `sim` is excluded from
+    the output — both engines evaluate the ≥ threshold predicate on
+    identically-ordered double arithmetic, but emitting the raw double
+    would make the value-hash fragile."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_near_dups(emb, threshold=0.35).select(
-        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
-        F.round("sim", 4).alias("sim"),
+    return similarity.embedding_near_dups_exact(emb, threshold=0.35).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
 
 
-@_register("ann_cosine_ivf")  # rows-only: approximate by design
+@_register("dedup_embedding_cosine_lsh")  # rows-only: LSH-pruned candidates
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups via LSH candidate pruning (the scale
+    path; recall vs the exact twin is measured in bench)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.35).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+@_register(
+    "ann_cosine_ivf",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5""",
+)
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its exact degenerate configuration (n_probe = n_cells):
+    probing every cell covers the whole corpus, so the result equals
+    brute force and the whole IVF machinery (KMeans fit, centroid
+    probing, per-cell scoring, re-rank) gets hash-checked against the
+    brute-force oracle. The approximate multi-probe configuration is
+    `ann_cosine_ivf_probe` (rows-only; recall measured in bench)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16
+    )
+    return out.select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
+@_register("ann_cosine_ivf_probe")  # rows-only: approximate by design
+def ann_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells + multi-probe); recall measured in bench."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=5)
@@ -535,6 +692,34 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_cosine_lsh_total",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5""",
+)
+def ann_cosine_lsh_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN in its exact degenerate configuration (n_planes=0): every
+    vector lands in one bucket, the candidate set is provably total, so
+    the bucket-join + exact-re-rank machinery gets hash-checked against
+    the brute-force oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=0, n_tables=1
+    )
+    return out.select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
+    )
+
+
+@_register(
     "kg_edge_labels",
     f"""WITH {fixtures.gold_cte()},
 edges AS (
@@ -545,12 +730,14 @@ edges AS (
          lower(pred) AS dst, 'A1' AS label FROM gold
 )
 SELECT doc_id, src, dst,
-       list_sort(list(label)) AS labels
+       array_to_string(list_sort(list(label)), ',') AS labels
 FROM edges GROUP BY doc_id, src, dst""",
 )
 def kg_edge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 `getAllEdgeLabel`: multi-edge label lists per (src, dst)
-    (EntityGraph.py:18-23), sorted for determinism (W2)."""
+    (EntityGraph.py:18-23), sorted for determinism (W2). The label list
+    is emitted comma-joined: the driver's hash canonicalizer requires
+    scalar (hashable) column values."""
     from .operators.graph import levi_edges
     from .operators.misc import edge_labels
 
@@ -560,7 +747,9 @@ def kg_edge_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node2").alias("dst"),
         "label",
     )
-    return edge_labels(e, keys=["doc_id"])
+    return edge_labels(e, keys=["doc_id"]).withColumn(
+        "labels", F.array_join("labels", ",")
+    )
 
 
 @_register(
