@@ -96,9 +96,11 @@ def main() -> None:
         }
         if brute:
             extras["ann_lsh_recall"] = round(len(brute & lsh) / len(brute), 3)
+        # recall of the APPROXIMATE multi-probe path (the catalog's
+        # ann_cosine_ivf is the exact degenerate config by design)
         ivf = {
             (r.query_id, r.neighbor_id)
-            for r in queries_catalog.QUERIES["ann_cosine_ivf"](spark, SF_DIR).collect()
+            for r in queries_catalog.QUERIES["ann_cosine_ivf_probe"](spark, SF_DIR).collect()
         }
         if brute:
             extras["ann_ivf_recall"] = round(len(brute & ivf) / len(brute), 3)

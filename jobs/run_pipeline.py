@@ -68,17 +68,27 @@ def main() -> int:
     }
 
     if args.canonicalize:
-        # the full north-star tail: G5 clustering + join-based CC
+        # the full north-star tail: alias-ladder clustering + join-based CC.
+        # NOTE deliberate deviation from reference G5 semantics here: the
+        # reference's first-token ent_dict is PER-EXAMPLE
+        # (build_dataset.py:219-246); corpus-globally that key over-merges
+        # (Aarhus / Aarhus_Airport / Aarhus_Lufthavn_A/S), so the global
+        # tail requires full alias-ladder equivalence instead
+        # (operators/canonicalize.py:alias_clusters).
         from pyspark.sql import functions as F
 
-        from rdf_to_text_spark.operators.canonicalize import canonical_entity_table
+        from rdf_to_text_spark.operators.canonicalize import (
+            alias_clusters,
+            canonical_entity_table,
+        )
 
         edges = sink.edges()
         surfaces = edges.select(F.col("subj").alias("surface")).unionByName(
             edges.select(F.col("obj").alias("surface"))
         )
         canonical = canonical_entity_table(
-            surfaces.select(F.regexp_replace("surface", "_", " ").alias("surface"))
+            surfaces.select(F.regexp_replace("surface", "_", " ").alias("surface")),
+            clusterer=alias_clusters,
         )
         canonical.write.mode("overwrite").parquet(f"{args.output}/entities_canonical")
         summary["canonical_entities"] = canonical.count()

@@ -163,6 +163,37 @@ def connected_components(
     )
 
 
+def alias_clusters(surfaces: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """(surface, rep) — conservative clustering for CORPUS-GLOBAL merges:
+    surfaces whose paren-stripped, lowercased, whitespace-squeezed base
+    coincides (the alias-variant ladder of
+    webnlg_baseline_input.py:84-95) map to the lexicographic-min
+    surface of the group.
+
+    Why a second clusterer exists: first-token clustering (G5,
+    :func:`first_token_clusters`) mirrors the reference's PER-EXAMPLE
+    ent_dict (build_dataset.py:219-246), where sharing a first token
+    inside one example is strong evidence of coreference. Applied
+    corpus-globally it conflates distinct entities that share a head
+    token (``Aarhus``, ``Aarhus Airport``, ``Aarhus Lufthavn A/S`` all
+    collapse). The global canonicalization tail therefore demands full
+    alias-ladder equivalence; G5 keeps its reference semantics at the
+    per-example scope where the reference applies them.
+    """
+    base = F.trim(
+        F.regexp_replace(
+            F.lower(F.split(F.col(surface_col), r"\(").getItem(0)), r"\s+", " "
+        )
+    )
+    keyed = (
+        surfaces.select(surface_col).distinct().withColumn("alias_key", base)
+    )
+    reps = keyed.groupBy("alias_key").agg(F.min(surface_col).alias("rep"))
+    return keyed.join(reps, "alias_key").select(
+        F.col(surface_col).alias("surface"), "rep"
+    )
+
+
 def canonical_entities(triples: DataFrame) -> DataFrame:
     """Canonical entity table from extracted triples: cluster subject and
     object surfaces (first-token pass) and pick the sorted representative.
@@ -175,16 +206,21 @@ def canonical_entities(triples: DataFrame) -> DataFrame:
     return first_token_clusters(surfaces)
 
 
-def canonical_entity_table(surfaces: DataFrame) -> DataFrame:
-    """The full canonicalization tail (north_rule): first-token
-    clustering (G5) shrinks the graph, then join-based CC resolves
-    transitive surface↔representative chains; singleton clusters (whose
-    only CC edge would be a self-loop) survive via left-join+coalesce.
+def canonical_entity_table(surfaces: DataFrame, clusterer=None) -> DataFrame:
+    """The full canonicalization tail (north_rule): a clustering pass
+    shrinks the graph, then join-based CC resolves transitive
+    surface↔representative chains; singleton clusters (whose only CC
+    edge would be a self-loop) survive via left-join+coalesce.
+
+    `clusterer` defaults to :func:`first_token_clusters` (G5 reference
+    semantics — right for per-example scopes); corpus-global callers
+    should pass :func:`alias_clusters` to avoid merging distinct
+    entities that merely share a head token (see its docstring).
 
     surfaces: one column ``surface``. Output:
     (component, canonical, surfaces: array<string>).
     """
-    clusters = first_token_clusters(surfaces)
+    clusters = (clusterer or first_token_clusters)(surfaces)
     nodes = (
         clusters.select("surface")
         .unionByName(clusters.select(F.col("rep").alias("surface")))

@@ -56,36 +56,48 @@ def minhash_signatures(
     one (num_perm × n_shingles) numpy broadcast per document — Arrow
     batches in, Arrow batches out.
 
-    NOTE: uses a fixed-seed numpy RNG for (a, b); `hash()` of str is
-    NOT used cross-process — shingles are hashed with a deterministic
-    FNV-1a implemented in numpy (PYTHONHASHSEED-independent).
+    Shingle hashing is fully vectorized (no per-shingle Python loop):
+    every token in the Arrow batch is hashed ONCE with pandas'
+    deterministic 64-bit hash (`pd.util.hash_array`, fixed default key —
+    PYTHONHASHSEED-independent, identical on every executor), then each
+    k-gram hash is the wraparound-uint64 combination of its k token
+    hashes under distinct odd multipliers. MinHash is multiset-
+    insensitive (min over duplicates == min over the set), so shingles
+    are NOT uniqued before the broadcast.
     """
     rng = np.random.RandomState(seed)
     p = (1 << 61) - 1
     a = rng.randint(1, p, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, p, size=num_perm, dtype=np.int64).astype(np.uint64)
-
-    def fnv1a(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode():
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    # odd multipliers: one per in-shingle position (injective-ish mixing)
+    mults = (
+        rng.randint(0, 1 << 62, size=shingle_k, dtype=np.int64).astype(np.uint64) * 2 + 1
+    )
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        sigs = []
         k = shingle_k
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
+        tok_lists = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = [tok for toks in tok_lists for tok in toks]
+        th = (
+            pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+            if flat
+            else np.empty(0, dtype=np.uint64)
+        )
+        ends = np.cumsum(lens)
+        sigs = []
+        for i, n in enumerate(lens):
+            if n == 0:
                 sigs.append([0] * num_perm)
                 continue
-            if len(toks) < k:
-                shingles = {" ".join(toks)}
+            h = th[ends[i] - n : ends[i]]
+            if n < k:
+                x = (h * mults[:n]).sum(keepdims=True)  # one whole-doc shingle
             else:
-                shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-            x = np.fromiter((fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+                x = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    x += h[j : n - k + 1 + j] * mults[j]
             # (num_perm, n_shingles) broadcast; min over shingles
             vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(p)
             sigs.append(vals.min(axis=1).astype(np.int64).tolist())
@@ -101,19 +113,30 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int = 128,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) candidate near-duplicate pairs.
 
-    Band signatures → bucket groupBy → pairs within buckets → exact
-    signature-agreement estimate, deduped. Self-joins happen per
-    bucket via collect_list (buckets are tiny by construction; a
-    size cap guards pathological buckets).
+    Band signatures → per-(band, bucket) self-join on ids ONLY → pair
+    dedup → signatures re-attached for the exact agreement estimate.
+
+    Scale design (the order of operations is the point):
+      * the self-join carries (id, band, bucket) rows — never the
+        64-long signature arrays — so the bucket shuffle moves ~24
+        bytes/row instead of ~550;
+      * buckets larger than `max_bucket` are dropped BEFORE the join:
+        a degenerate bucket (empty/boilerplate docs all sharing one
+        band hash) would otherwise go quadratic. Dropped buckets lose
+        only that band's votes — a true near-dup pair still collides
+        in its other bands (and docs that degenerate are exact dups,
+        which the exact-dedup rung catches first);
+      * signatures are persisted: they feed the banding pass AND the
+        two re-attach joins, and recomputing the UDF 3× would dominate.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k).persist()
     banded = sigs.select(
         id_col,
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -129,10 +152,16 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    bucket_w = Window.partitionBy("band", "bucket")
+    kept = (
+        banded.withColumn("_bsz", F.count("*").over(bucket_w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
     pairs = (
-        banded.alias("x")
+        kept.alias("x")
         .join(
-            banded.alias("y"),
+            kept.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
@@ -140,10 +169,13 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = pairs.join(
+        sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     agree = F.size(
         F.filter(
@@ -151,7 +183,7 @@ def minhash_lsh_candidates(
             lambda z: z == 1,
         )
     )
-    return pairs.select(
+    return scored.select(
         "doc_a", "doc_b", (agree / F.lit(num_perm)).alias("est_jaccard")
     )
 
@@ -160,8 +192,53 @@ def minhash_lsh_candidates(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash: long) 64-bit SimHash over unigram xxhash64.
 
-    Pure DataFrame formulation: explode tokens → per-(doc, bit)
-    weighted sum of ±1 → reassemble bits — no Python at all.
+    Token hashing stays engine-side (xxhash64 inside a higher-order
+    `transform` — the SAME hash family as :func:`simhash_dataframe`,
+    which is kept as the cross-check twin); the 64-bit majority vote is
+    one vectorized numpy pandas_udf over the per-doc hash arrays.
+
+    Scale design: this is a narrow map with ZERO shuffle. The pure
+    DataFrame formulation explodes tokens × 64 bits — a 64× row blowup
+    through two groupBy shuffles, which at web scale is the largest
+    shuffle in the repo for what is logically a per-row computation.
+
+    Divergence from the DataFrame twin: docs with no tokens emit
+    simhash=0 here, while the explode-based twin drops them (nothing to
+    explode).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(LongType())
+    def vote(harr: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+        out = np.zeros(len(harr), dtype=np.int64)
+        for i, hl in enumerate(harr):
+            h = np.asarray(hl, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # sign sum s = 2*ones - n; bit set iff s > 0
+            mask = 2 * ones > h.size
+            val = (weights * mask).sum(dtype=np.uint64)
+            out[i] = np.array([val], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), vote(hashes).alias("simhash"))
+
+
+def simhash_dataframe(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The pure-DataFrame SimHash formulation (explode tokens → per-
+    (doc, bit) weighted sum of ±1 → reassemble bits — no Python at all).
+
+    Kept as the cross-check twin for :func:`simhash`: identical hash
+    family, so both must produce identical signatures (property-tested).
+    NOT the scale path — the 64× bit explode is two full shuffles.
     """
     toks = docs.select(
         id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")

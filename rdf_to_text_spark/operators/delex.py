@@ -117,15 +117,22 @@ DELEX_SCHEMA = StructType(
 )
 
 
-def delexicalise(pairs: DataFrame) -> DataFrame:
+def delexicalise(pairs: DataFrame, delex_dict: dict[str, list[str]] | None = None) -> DataFrame:
     """pairs(src, trg, category, props: map<string,string>) → masked pair
-    + replacement dict, Arrow-batched."""
+    + replacement dict, Arrow-batched.
+
+    `delex_dict` (category → [underscored entity names]) defaults to the
+    engine's entity table; pass the reference's delex_dict.json contents
+    for frozen-artifact parity runs. The dict rides the serialized UDF
+    closure — one copy per executor, no per-row JSON re-read (the
+    reference re-opens the JSON file per example,
+    webnlg_baseline_input.py:47-52)."""
     out_schema = StructType(list(pairs.schema.fields) + list(DELEX_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             res = [
-                delexicalise_py(s, t, c, dict(p) if p is not None else {})
+                delexicalise_py(s, t, c, dict(p) if p is not None else {}, delex_dict)
                 for s, t, c, p in zip(pdf["src"], pdf["trg"], pdf["category"], pdf["props"])
             ]
             pdf = pdf.copy()

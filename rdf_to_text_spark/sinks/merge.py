@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = "chunk_id long, n_pages long, n_triples long, n_dropped long, wall_sec double"
@@ -79,11 +79,23 @@ class BucketedParquetMerge:
         return chunks.join(self.committed_chunks(), "chunk_id", "left_anti")
 
     # ------------------------------------------------------------ write
-    def write_chunk(self, chunk_id: int, triples: DataFrame, n_pages: int) -> dict:
-        """Commit one chunk: triples partition + lineage row."""
+    def write_chunk(
+        self, chunk_id: int, triples: DataFrame, n_pages: "int | Observation"
+    ) -> dict:
+        """Commit one chunk: triples partition + lineage row.
+
+        The lineage row's n_triples comes from an `observe` metric
+        collected DURING the write — never from a separate `count()`,
+        which would re-execute the whole extraction stage per chunk
+        (at scale that doubles the dominant cost of the job).
+        `n_pages` may likewise be an Observation planted on the chunk's
+        input DataFrame; it is read after the same single pass."""
         t0 = time.time()
-        out = triples.withColumn("chunk", F.lit(chunk_id)).withColumn(
-            "bucket", F.pmod(F.xxhash64("subj"), F.lit(self.n_buckets))
+        obs = Observation(f"chunk_{chunk_id}_triples")
+        out = (
+            triples.observe(obs, F.count(F.lit(1)).alias("n_triples"))
+            .withColumn("chunk", F.lit(chunk_id))
+            .withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(self.n_buckets)))
         )
         (
             out.repartition("bucket")
@@ -91,7 +103,9 @@ class BucketedParquetMerge:
             .partitionBy("chunk", "bucket")
             .parquet(f"{self.base}/edges")
         )
-        n_triples = triples.count()
+        n_triples = obs.get["n_triples"]
+        if isinstance(n_pages, Observation):
+            n_pages = n_pages.get["n_pages"]
         wall = time.time() - t0
         row = [(chunk_id, n_pages, n_triples, 0, wall)]
         self.spark.createDataFrame(row, LINEAGE_SCHEMA).withColumn(
@@ -139,7 +153,11 @@ def run_resumable(
     results = []
     for cid in sorted(todo):
         part = chunked.filter(F.col("chunk_id") == cid).drop("chunk_id")
-        n_pages = part.count()
+        # n_pages rides the same single pass as the chunk write: an
+        # observe node below the extraction counts the chunk's input
+        # rows while they stream through — no second scan.
+        pages_obs = Observation(f"chunk_{cid}_pages")
+        part = part.observe(pages_obs, F.count(F.lit(1)).alias("n_pages"))
         triples = extract(part)
-        results.append(sink.write_chunk(cid, triples, n_pages))
+        results.append(sink.write_chunk(cid, triples, pages_obs))
     return results

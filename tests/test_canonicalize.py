@@ -75,6 +75,57 @@ def test_canonical_entity_table(spark):
     assert len(rows) == 3
 
 
+def test_alias_clusters_no_head_token_overmerge(spark):
+    """Corpus-global clustering must NOT merge distinct entities that
+    merely share a first token (ADVICE r1); full alias-ladder
+    equivalence (lowercase + paren-strip + squeeze) does merge true
+    variants."""
+    from rdf_to_text_spark.operators.canonicalize import alias_clusters
+
+    surfaces = spark.createDataFrame(
+        [
+            ("Aarhus",),
+            ("aarhus",),                      # case variant -> merges
+            ("Aarhus Airport",),
+            ("Aarhus Airport (Denmark)",),    # paren variant -> merges
+            ("Aarhus Lufthavn A/S",),         # distinct entity -> separate
+        ],
+        "surface string",
+    )
+    got = {r.surface: r.rep for r in alias_clusters(surfaces).collect()}
+    assert got["Aarhus"] == got["aarhus"] == "Aarhus"
+    assert got["Aarhus Airport"] == got["Aarhus Airport (Denmark)"] == "Aarhus Airport"
+    assert got["Aarhus Lufthavn A/S"] == "Aarhus Lufthavn A/S"
+    assert got["Aarhus"] != got["Aarhus Airport"]
+
+
+def test_canonical_entity_table_alias_clusterer(spark):
+    """The global tail with alias_clusters keeps head-token families
+    apart while still resolving transitive variant chains through CC."""
+    from rdf_to_text_spark.operators.canonicalize import (
+        alias_clusters,
+        canonical_entity_table,
+    )
+
+    surfaces = spark.createDataFrame(
+        [
+            ("Aarhus",),
+            ("aarhus",),
+            ("Aarhus Airport",),
+            ("Aarhus Airport (Denmark)",),
+            ("aarhus airport",),
+        ],
+        "surface string",
+    )
+    rows = canonical_entity_table(surfaces, clusterer=alias_clusters).collect()
+    by_canon = {r.canonical: sorted(r.surfaces) for r in rows}
+    assert len(rows) == 2
+    assert by_canon["Aarhus"] == ["Aarhus", "aarhus"]
+    assert by_canon["Aarhus Airport"] == [
+        "Aarhus Airport", "Aarhus Airport (Denmark)", "aarhus airport"
+    ]
+
+
 def test_cc_shared_leaf_stars_regression(spark):
     """Regression: the round-1 convergence probe ('no edge src appears as
     any dst') fired on a state of two stars sharing leaves while the

@@ -47,6 +47,65 @@ def test_simhash_properties(spark):
     assert got[0] == got[1] != got[2]
 
 
+def test_simhash_matches_dataframe_twin(spark):
+    """The zero-shuffle numpy simhash and the explode-based DataFrame
+    formulation share one hash family → identical signatures."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "alpha beta gamma delta epsilon",
+        "single",
+        "repeated repeated repeated tokens tokens",
+        "Mixed CASE and   extra   whitespace  ",
+    ]
+    docs = _docs(spark, texts)
+    fast = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    slow = {r.doc_id: r.simhash for r in dedup.simhash_dataframe(docs).collect()}
+    assert fast == slow
+
+
+def test_simhash_plan_has_no_shuffle(spark):
+    """The scale path must be a narrow map: no exchange in the plan."""
+    docs = _docs(spark, ["a b c", "d e f"])
+    plan = dedup.simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is dropped when it
+    exceeds max_bucket instead of going quadratic; distinct near-dup
+    pairs still surface through their own buckets."""
+    same = ["identical filler text body here"] * 12
+    near = ["the quick brown fox jumps high today", "the quick brown fox jumps high tomorrow"]
+    docs = _docs(spark, same + near)
+    # cap below the degenerate bucket size: the 12-identical group's
+    # buckets all blow the cap, so none of its 66 pairs emit
+    pairs = dedup.minhash_lsh_candidates(docs, max_bucket=8).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (12, 13) in got
+    assert all(a >= 12 for a, _ in got), got
+    # default cap (unhit): all pairs emit
+    pairs_all = dedup.minhash_lsh_candidates(docs).collect()
+    assert len(pairs_all) == 66 + 1
+
+
+def test_minhash_pair_join_carries_no_signatures(spark):
+    """The bucket self-join must shuffle (id, band, bucket) only —
+    signatures re-attach after pair dedup (100-TB shuffle budget)."""
+    docs = _docs(spark, ["a b c d", "a b c e"])
+    plan = (
+        dedup.minhash_lsh_candidates(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    self_join = [ln for ln in joins if "band" in ln]
+    assert self_join, plan
+    assert not re.search(r"sig[^_a-z]", self_join[0]), self_join[0]
+
+
 def test_ngram_jaccard_exact(spark):
     docs = _docs(spark, ["a b c d e", "a b c d x", "q r s t u"])
     pairs = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
