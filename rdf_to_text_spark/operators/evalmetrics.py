@@ -1,0 +1,214 @@
+"""Distributed multi-reference corpus BLEU (the reference's eval gate).
+
+The reference scores generations with `multi-bleu.perl` over the K3
+multi-reference file layout (`webnlg_eval_scripts/multi-bleu.perl`,
+driven by `calculate_bleu_dev_local.sh`). This module re-expresses that
+scorer as DataFrame aggregations so the eval step runs on the cluster
+next to the data instead of collecting predictions to one machine:
+
+  * per-sentence closest-length reference (ties → shorter),
+    multi-bleu.perl:64-77;
+  * clipped modified n-gram precision, n = 1..4: per hypothesis n-gram,
+    matches are capped at the MAX count of that n-gram over all
+    references (:79-98);
+  * corpus-level sums, brevity penalty exp(1 - ref/hyp) when the
+    hypothesis is shorter (:148-155), BLEU = BP * exp(mean log p_n)
+    (:156-159). Any zero precision → BLEU 0 (my_log guard :171-174).
+
+Everything is engine-side (split/transform/explode/groupBy) — counts
+are exact integers until the final scalar assembly; there is no Python
+in the per-token path. Scale shape: two shuffles per n (hyp-gram count,
+ref-gram max) over keys that include the n-gram itself — high
+cardinality, uniform, no skew handling needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(col: str) -> F.Column:
+    return F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def _grams(toks: F.Column, n: int) -> F.Column:
+    """All (overlapping) n-grams of a token array, space-joined."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bleu_stats(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+    max_n: int = 4,
+) -> DataFrame:
+    """One-row DataFrame of EXACT-integer BLEU sufficient statistics:
+    (hyp_len, ref_len, correct_1..max_n, total_1..max_n).
+
+    This is the distributed (heavy) part of the scorer; the float
+    assembly in :func:`corpus_bleu` is a handful of scalar ops on top.
+    Splitting here keeps the oracle-checkable surface integer-exact.
+
+    hyps: one row per sentence id; refs: one row per (id, reference) —
+    the K3 layout after reading `reference{j}` partitions back.
+    Sentences whose id has no reference rows contribute nothing
+    (multi-bleu reads aligned files, so that shape cannot occur there).
+    """
+    h = hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
+    r = refs.select(
+        F.col(id_col).alias("id"),
+        _toks(ref_col).alias("rtoks"),
+        F.monotonically_increasing_id().alias("rkey"),
+    )
+
+    # ---- lengths: hyp length + closest-length reference per sentence
+    hlen = h.select("id", F.size("htoks").alias("hyp_len"))
+    rlen = r.select("id", F.size("rtoks").alias("ref_len"), "rkey")
+    joined = hlen.join(rlen, "id")
+    w = Window.partitionBy("id").orderBy(
+        F.abs(F.col("ref_len") - F.col("hyp_len")), F.col("ref_len")
+    )
+    closest = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "hyp_len", F.col("ref_len").alias("closest_ref_len"))
+    )
+    lengths = closest.agg(
+        F.sum("hyp_len").alias("hyp_len"),
+        F.sum("closest_ref_len").alias("ref_len"),
+    )
+
+    # ---- clipped n-gram matches per order
+    stats = []
+    for n in range(1, max_n + 1):
+        hcnt = (
+            h.select("id", F.explode(_grams(F.col("htoks"), n)).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count("*").alias("hcnt"))
+        )
+        rmax = (
+            r.select("id", "rkey", F.explode(_grams(F.col("rtoks"), n)).alias("gram"))
+            .groupBy("id", "rkey", "gram")
+            .agg(F.count("*").alias("rcnt"))
+            .groupBy("id", "gram")
+            .agg(F.max("rcnt").alias("rmax"))
+        )
+        per_gram = hcnt.join(rmax, ["id", "gram"], "left").select(
+            F.least(F.col("hcnt"), F.coalesce("rmax", F.lit(0))).alias("clipped"),
+            F.col("hcnt").alias("total"),
+        )
+        stats.append(
+            per_gram.agg(
+                F.coalesce(F.sum("clipped"), F.lit(0)).alias(f"correct_{n}"),
+                F.coalesce(F.sum("total"), F.lit(0)).alias(f"total_{n}"),
+            )
+        )
+
+    row = lengths
+    for s in stats:
+        row = row.crossJoin(s)
+    return row.select(
+        F.col("hyp_len").cast("long"),
+        F.col("ref_len").cast("long"),
+        *[F.col(f"correct_{n}").cast("long") for n in range(1, max_n + 1)],
+        *[F.col(f"total_{n}").cast("long") for n in range(1, max_n + 1)],
+    )
+
+
+def corpus_bleu(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+    max_n: int = 4,
+) -> DataFrame:
+    """One-row DataFrame: (bleu, bp, p1..p4, hyp_len, ref_len) — the
+    multi-bleu.perl corpus score assembled from :func:`bleu_stats`."""
+    row = bleu_stats(hyps, refs, id_col, hyp_col, ref_col, max_n)
+
+    # ---- final scalar assembly (exact integers until here)
+    precisions = [
+        # total==0 (hyp shorter than n everywhere) → precision 0, not
+        # NULL: mirrors the my_log(0) guard path of multi-bleu.perl
+        F.when(
+            F.col(f"total_{n}") > 0, F.col(f"correct_{n}") / F.col(f"total_{n}")
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"p{n}")
+        for n in range(1, max_n + 1)
+    ]
+    with_p = row.select("hyp_len", "ref_len", *precisions)
+    bp = F.when(
+        F.col("hyp_len") < F.col("ref_len"),
+        F.exp(1 - F.col("ref_len") / F.col("hyp_len")),
+    ).otherwise(F.lit(1.0))
+    geo = F.exp(
+        sum(F.log(F.col(f"p{n}")) for n in range(1, max_n + 1)) / F.lit(float(max_n))
+    )
+    any_zero = None
+    for n in range(1, max_n + 1):
+        cond = F.col(f"p{n}") <= 0
+        any_zero = cond if any_zero is None else (any_zero | cond)
+    return with_p.select(
+        F.when(any_zero, F.lit(0.0)).otherwise(bp * geo).alias("bleu"),
+        bp.alias("bp"),
+        *[F.col(f"p{n}") for n in range(1, max_n + 1)],
+        "hyp_len",
+        "ref_len",
+    )
+
+
+# ------------------------------------------------------------ pure-python twin
+def corpus_bleu_py(
+    hyps: list[str], refs: list[list[str]], max_n: int = 4
+) -> dict:
+    """Literal multi-bleu.perl reimplementation (the unit-test twin)."""
+    import math
+    from collections import Counter
+
+    correct = [0] * max_n
+    total = [0] * max_n
+    hyp_len = ref_len = 0
+    for hyp, rlist in zip(hyps, refs):
+        htoks = hyp.split()
+        hyp_len += len(htoks)
+        # closest ref length, ties -> shorter (multi-bleu.perl:64-77)
+        best = None
+        for rf in rlist:
+            L = len(rf.split())
+            d = abs(L - len(htoks))
+            if best is None or d < best[0] or (d == best[0] and L < best[1]):
+                best = (d, L)
+        ref_len += best[1]
+        for n in range(1, max_n + 1):
+            hg = Counter(
+                " ".join(htoks[i : i + n]) for i in range(len(htoks) - n + 1)
+            )
+            rmax: Counter = Counter()
+            for rf in rlist:
+                rtoks = rf.split()
+                rg = Counter(
+                    " ".join(rtoks[i : i + n]) for i in range(len(rtoks) - n + 1)
+                )
+                for g, c in rg.items():
+                    rmax[g] = max(rmax[g], c)
+            total[n - 1] += sum(hg.values())
+            correct[n - 1] += sum(min(c, rmax[g]) for g, c in hg.items())
+    ps = [c / t if t else 0.0 for c, t in zip(correct, total)]
+    bp = 1.0 if hyp_len >= ref_len else math.exp(1 - ref_len / hyp_len)
+    bleu = (
+        0.0
+        if any(p <= 0 for p in ps)
+        else bp * math.exp(sum(math.log(p) for p in ps) / max_n)
+    )
+    return {"bleu": bleu, "bp": bp, "ps": ps, "hyp_len": hyp_len, "ref_len": ref_len}

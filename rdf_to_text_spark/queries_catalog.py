@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures
-from .operators import dedup, graph, similarity, text_analysis, vocab
+from .operators import dedup, evalmetrics, graph, similarity, text_analysis, vocab
 from .operators.canonicalize import connected_components, first_token_clusters
 from .pipeline import extract_pipeline
 
@@ -853,6 +853,95 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
     )
+
+
+@_register(
+    "eval_bleu_counts",
+    """WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+cnt AS (SELECT count(*) AS n FROM documents),
+hyps AS (SELECT doc_id AS id, toks FROM docs),
+refs AS (
+  SELECT doc_id AS id, 0 AS rkey, toks[1:8] AS toks FROM docs
+  UNION ALL
+  SELECT d.doc_id AS id, 1 AS rkey, d2.toks
+  FROM docs d CROSS JOIN cnt JOIN docs d2 ON d2.doc_id = (d.doc_id + 1) % cnt.n
+),
+hlen AS (SELECT id, len(toks) AS hl FROM hyps),
+rlen AS (SELECT id, rkey, len(toks) AS rl FROM refs),
+closest AS (
+  SELECT h.id, h.hl, min_by(r.rl, abs(r.rl - h.hl) * 1000 + r.rl) AS cl
+  FROM hlen h JOIN rlen r ON r.id = h.id GROUP BY h.id, h.hl
+),
+lens AS (
+  SELECT CAST(sum(hl) AS BIGINT) AS hyp_len, CAST(sum(cl) AS BIGINT) AS ref_len
+  FROM closest
+),
+hg AS (
+  SELECT h.id, s.nn, array_to_string(h.toks[g.i : g.i + s.nn - 1], ' ') AS gram
+  FROM hyps h
+  CROSS JOIN generate_series(1, 4) s(nn)
+  CROSS JOIN generate_series(1, 1000) g(i)
+  WHERE g.i <= len(h.toks) - s.nn + 1
+),
+hcnt AS (SELECT id, nn, gram, count(*) AS hc FROM hg GROUP BY 1, 2, 3),
+rg AS (
+  SELECT r.id, r.rkey, s.nn, array_to_string(r.toks[g.i : g.i + s.nn - 1], ' ') AS gram
+  FROM refs r
+  CROSS JOIN generate_series(1, 4) s(nn)
+  CROSS JOIN generate_series(1, 1000) g(i)
+  WHERE g.i <= len(r.toks) - s.nn + 1
+),
+rmax AS (
+  SELECT id, nn, gram, max(rc) AS rm
+  FROM (SELECT id, rkey, nn, gram, count(*) AS rc FROM rg GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+),
+clip AS (
+  SELECT h.nn, least(h.hc, coalesce(r.rm, 0)) AS clipped, h.hc AS total
+  FROM hcnt h LEFT JOIN rmax r ON r.id = h.id AND r.nn = h.nn AND r.gram = h.gram
+),
+agg AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN nn=1 THEN clipped END), 0) AS BIGINT) AS correct_1,
+    CAST(coalesce(sum(CASE WHEN nn=2 THEN clipped END), 0) AS BIGINT) AS correct_2,
+    CAST(coalesce(sum(CASE WHEN nn=3 THEN clipped END), 0) AS BIGINT) AS correct_3,
+    CAST(coalesce(sum(CASE WHEN nn=4 THEN clipped END), 0) AS BIGINT) AS correct_4,
+    CAST(coalesce(sum(CASE WHEN nn=1 THEN total END), 0) AS BIGINT) AS total_1,
+    CAST(coalesce(sum(CASE WHEN nn=2 THEN total END), 0) AS BIGINT) AS total_2,
+    CAST(coalesce(sum(CASE WHEN nn=3 THEN total END), 0) AS BIGINT) AS total_3,
+    CAST(coalesce(sum(CASE WHEN nn=4 THEN total END), 0) AS BIGINT) AS total_4
+  FROM clip
+)
+SELECT lens.hyp_len, lens.ref_len,
+       agg.correct_1, agg.correct_2, agg.correct_3, agg.correct_4,
+       agg.total_1, agg.total_2, agg.total_3, agg.total_4
+FROM lens CROSS JOIN agg""",
+)
+def eval_bleu_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-reference corpus-BLEU sufficient statistics (the
+    distributed half of multi-bleu.perl, operators/evalmetrics.py) over
+    a synthetic eval set derived from `documents`: hypothesis = the doc
+    text; reference A = its first 8 tokens; reference B = the next
+    doc's text (wrap-around). Clipped n-gram matches (n=1..4),
+    hypothesis length and closest-reference length — all exact
+    integers, so the DuckDB replay hash-matches; the float BLEU
+    assembly on top is covered by the multi-bleu.perl twin tests."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # scalar modulus for the wrap-around reference
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    hyps = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("hyp"))
+    ref_a = docs.select(
+        F.col("doc_id").alias("id"), F.concat_ws(" ", F.slice(toks, 1, 8)).alias("ref")
+    )
+    nxt = docs.select(F.col("doc_id").alias("nid"), F.col("text").alias("ref"))
+    ref_b = (
+        docs.select(F.col("doc_id").alias("id"), ((F.col("doc_id") + 1) % n).alias("nid"))
+        .join(nxt, "nid")
+        .select("id", "ref")
+    )
+    return evalmetrics.bleu_stats(hyps, ref_a.unionByName(ref_b))
 
 
 # ===================================================== relational proof
