@@ -95,8 +95,31 @@ def _is_min_rooted_star_forest(e: DataFrame) -> bool:
     return chained.isEmpty()
 
 
+def _local_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(node, min-reachable-node) for every node in `pairs` — the
+    driver-side finisher for already-contracted edge sets."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 16, check_every: int = 2
+    edges: DataFrame,
+    max_iter: int = 16,
+    check_every: int = 2,
+    local_finish_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
@@ -122,6 +145,17 @@ def connected_components(
     head-entity skew: the groupBy key is already the node id, so AQE
     skew-split handles hot nodes; `repartition` before the loop bounds
     the reduce fan-in.
+
+    Hybrid local finish: star contraction shrinks the edge set
+    geometrically, so after a couple of rounds a web-scale alias graph
+    is a few parent pointers per remaining component — but each further
+    distributed round still costs fixed job/shuffle latency. When the
+    checkpointed edge set drops to ≤ `local_finish_threshold` rows
+    (~1.6 MB at the default), the remainder is collected and finished
+    with driver-side union-find — identical output (components are
+    invariant under contraction; fuzz-tested vs union-find), without
+    the long tail of tiny iterations. Set the threshold to 0 to force
+    the fully-distributed path.
     """
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -131,6 +165,17 @@ def connected_components(
         )
         .distinct()
     )
+    spark = edges.sparkSession
+
+    def _finish_locally(cur: DataFrame) -> DataFrame:
+        comp = _local_union_find([(r.src, r.dst) for r in cur.collect()])
+        return spark.createDataFrame(comp, "node long, component long")
+
+    # each round scans `e` ~3× (both star directions + small-star), so the
+    # canonical input is checkpointed before iterating
+    e = e.localCheckpoint(eager=True)
+    if local_finish_threshold and e.count() <= local_finish_threshold:
+        return _finish_locally(e)
     converged = False
     for i in range(max_iter):
         new_e = _star_round(e)
@@ -139,6 +184,8 @@ def connected_components(
         # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
             new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
+            if local_finish_threshold and new_e.count() <= local_finish_threshold:
+                return _finish_locally(new_e)
             if _is_min_rooted_star_forest(new_e):
                 e = new_e
                 converged = True

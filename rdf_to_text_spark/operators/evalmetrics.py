@@ -43,6 +43,19 @@ def _grams(toks: F.Column, n: int) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _all_grams(toks: F.Column, max_n: int) -> F.Column:
+    """array<struct<nn,gram>> of every n-gram for n = 1..max_n — one
+    engine-side expression so all four orders ride ONE explode/shuffle
+    instead of one pass per order."""
+    def tag(n: int):
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # receive (element, index) and the index would shadow n
+        return lambda g: F.struct(F.lit(n).alias("nn"), g.alias("gram"))
+
+    per_n = [F.transform(_grams(toks, n), tag(n)) for n in range(1, max_n + 1)]
+    return F.concat(*per_n)
+
+
 def bleu_stats(
     hyps: DataFrame,
     refs: DataFrame,
@@ -87,35 +100,42 @@ def bleu_stats(
         F.sum("closest_ref_len").alias("ref_len"),
     )
 
-    # ---- clipped n-gram matches per order
-    stats = []
-    for n in range(1, max_n + 1):
-        hcnt = (
-            h.select("id", F.explode(_grams(F.col("htoks"), n)).alias("gram"))
-            .groupBy("id", "gram")
-            .agg(F.count("*").alias("hcnt"))
-        )
-        rmax = (
-            r.select("id", "rkey", F.explode(_grams(F.col("rtoks"), n)).alias("gram"))
-            .groupBy("id", "rkey", "gram")
-            .agg(F.count("*").alias("rcnt"))
-            .groupBy("id", "gram")
-            .agg(F.max("rcnt").alias("rmax"))
-        )
-        per_gram = hcnt.join(rmax, ["id", "gram"], "left").select(
-            F.least(F.col("hcnt"), F.coalesce("rmax", F.lit(0))).alias("clipped"),
-            F.col("hcnt").alias("total"),
-        )
-        stats.append(
-            per_gram.agg(
-                F.coalesce(F.sum("clipped"), F.lit(0)).alias(f"correct_{n}"),
-                F.coalesce(F.sum("total"), F.lit(0)).alias(f"total_{n}"),
-            )
-        )
+    # ---- clipped n-gram matches, ALL orders in one explode + shuffle
+    hcnt = (
+        h.select("id", F.explode(_all_grams(F.col("htoks"), max_n)).alias("g"))
+        .select("id", "g.nn", "g.gram")
+        .groupBy("id", "nn", "gram")
+        .agg(F.count("*").alias("hcnt"))
+    )
+    rmax = (
+        r.select("id", "rkey", F.explode(_all_grams(F.col("rtoks"), max_n)).alias("g"))
+        .select("id", "rkey", "g.nn", "g.gram")
+        .groupBy("id", "rkey", "nn", "gram")
+        .agg(F.count("*").alias("rcnt"))
+        .groupBy("id", "nn", "gram")
+        .agg(F.max("rcnt").alias("rmax"))
+    )
+    per_gram = hcnt.join(rmax, ["id", "nn", "gram"], "left").select(
+        "nn",
+        F.least(F.col("hcnt"), F.coalesce("rmax", F.lit(0))).alias("clipped"),
+        F.col("hcnt").alias("total"),
+    )
+    stat_row = per_gram.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("nn") == n, F.col("clipped"))), F.lit(0)
+            ).alias(f"correct_{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("nn") == n, F.col("total"))), F.lit(0)
+            ).alias(f"total_{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
 
-    row = lengths
-    for s in stats:
-        row = row.crossJoin(s)
+    row = lengths.crossJoin(stat_row)
     return row.select(
         F.col("hyp_len").cast("long"),
         F.col("ref_len").cast("long"),

@@ -48,9 +48,14 @@ def test_connected_components_random_graph(spark):
     edges = [(random.randrange(120), random.randrange(120)) for _ in range(150)]
     edges = [e for e in edges if e[0] != e[1]]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    # distributed star-contraction path (threshold 0) AND the default
+    # hybrid local-finish path must both equal union-find
+    got = {r.node: r.component
+           for r in connected_components(df, local_finish_threshold=0).collect()}
     exp = _union_find_components(edges)
     assert got == exp
+    hybrid = {r.node: r.component for r in connected_components(df).collect()}
+    assert hybrid == exp
 
 
 def test_canonical_entity_table(spark):
@@ -138,7 +143,8 @@ def test_cc_shared_leaf_stars_regression(spark):
         (489, 890), (361, 489), (392, 624), (489, 361),
     ]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {r.node: r.component
+           for r in connected_components(df, local_finish_threshold=0).collect()}
     exp = _union_find_components(edges)
     assert got == exp  # in particular got[361] == 107
 
@@ -151,13 +157,14 @@ def test_cc_max_iter_exhaustion_raises(spark):
     edges = [(i, i + 1) for i in range(300)]
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_finish_threshold=0)
 
 
 def test_connected_components_chain(spark):
     """Path graph: worst case for star-contraction depth."""
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {r.node: r.component
+           for r in connected_components(df, local_finish_threshold=0).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
