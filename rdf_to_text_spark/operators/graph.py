@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -83,6 +83,116 @@ def levi_edges(
             )
             out = out.unionByName(ne)
     return out
+
+
+def gcn_arrays(
+    triples: DataFrame, example_col: str = "doc_id", order_col: str = "sent_idx"
+) -> DataFrame:
+    """G1/G3 `buildGraph` (webnlg_gcnonmt_input.py:49-86): per example,
+    the four GCN input lines — node list, edge labels, node1 indices,
+    node2 indices — as space-joined strings, byte-compatible with the
+    reference's `-src-nodes/-src-labels/-src-node1/-src-node2` files.
+
+    Two reference quirks reproduced exactly:
+
+      * edge ITERATION order is networkx MultiDiGraph adjacency order,
+        not insertion order: edges group by source node (in node
+        insertion order), then by target (first-pair occurrence), then
+        multi-edge key (insertion);
+      * the node list appends the relation node for EVERY edge
+        (duplicate rel names get fresh nodes, :69) while subject/object
+        nodes are appended only on first occurrence and indexed by
+        `list.index` — the FIRST occurrence of the NAME, which may be a
+        relation node if names collide (:66-72).
+
+    Everything is windows + joins — no Python, no collect; the grouped
+    strings are per-example sized (≤ 7 triples in the reference).
+    """
+    w_e = Window.partitionBy(example_col).orderBy(order_col)
+    fuse = lambda c: F.concat_ws("_", F.split(F.col(c), r"\s+"))  # noqa: E731
+    e = triples.select(
+        F.col(example_col).cast("long").alias("ex"),
+        (F.row_number().over(w_e) - 1).alias("eidx"),
+        fuse("subj").alias("u"),
+        fuse("pred").alias("rel"),
+        fuse("obj").alias("v"),
+    )
+    # graph-node insertion position (add_edge inserts u then v)
+    np_ = (
+        e.select("ex", F.col("u").alias("name"), (2 * F.col("eidx")).alias("p"))
+        .unionByName(
+            e.select("ex", F.col("v").alias("name"), (2 * F.col("eidx") + 1).alias("p"))
+        )
+        .groupBy("ex", "name")
+        .agg(F.min("p").alias("npos"))
+    )
+    # first occurrence of each (u, v) pair (adjacency slot order)
+    pp = e.groupBy("ex", "u", "v").agg(F.min("eidx").alias("pairpos"))
+    w_j = Window.partitionBy("ex").orderBy("npos", "pairpos", "eidx")
+    em = (
+        e.join(np_.withColumnRenamed("name", "u"), ["ex", "u"])
+        .join(pp, ["ex", "u", "v"])
+        .withColumn("j", F.row_number().over(w_j) - 1)
+        .select("ex", "j", "u", "rel", "v")
+    )
+    occ = (
+        em.select("ex", (3 * F.col("j")).alias("pos"), F.col("u").alias("name"),
+                  F.lit(0).alias("is_rel"), "j")
+        .unionByName(
+            em.select("ex", (3 * F.col("j") + 1).alias("pos"), F.col("rel").alias("name"),
+                      F.lit(1).alias("is_rel"), "j")
+        )
+        .unionByName(
+            em.select("ex", (3 * F.col("j") + 2).alias("pos"), F.col("v").alias("name"),
+                      F.lit(0).alias("is_rel"), "j")
+        )
+    )
+    mp = occ.groupBy("ex", "name").agg(F.min("pos").alias("minpos"))
+    kept = occ.join(mp, ["ex", "name"]).filter(
+        (F.col("is_rel") == 1) | (F.col("pos") == F.col("minpos"))
+    )
+    w_id = Window.partitionBy("ex").orderBy("pos")
+    ids = kept.withColumn("nid", F.row_number().over(w_id) - 1)
+    entid = ids.filter(F.col("pos") == F.col("minpos")).select(
+        "ex", "name", F.col("nid").alias("entid")
+    )
+    relid = ids.filter(F.col("is_rel") == 1).select("ex", "j", F.col("nid").alias("relid"))
+    pairs = (
+        em.join(entid.withColumnRenamed("name", "u").withColumnRenamed("entid", "n1"), ["ex", "u"])
+        .join(relid, ["ex", "j"])
+        .select("ex", "j", F.lit(0).alias("slot"), F.lit("A0").alias("label"),
+                "n1", F.col("relid").alias("n2"))
+        .unionByName(
+            em.join(entid.withColumnRenamed("name", "v").withColumnRenamed("entid", "n1"), ["ex", "v"])
+            .join(relid, ["ex", "j"])
+            .select("ex", "j", F.lit(1).alias("slot"), F.lit("A1").alias("label"),
+                    "n1", F.col("relid").alias("n2"))
+        )
+    )
+    nodes_s = ids.groupBy("ex").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "name"))), lambda s: s["name"]
+            ),
+            " ",
+        ).alias("nodes")
+    )
+    edge_agg = lambda col: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "slot", F.col(col).cast("string").alias("x")))),
+            lambda s: s["x"],
+        ),
+        " ",
+    )
+    edges_s = pairs.groupBy("ex").agg(
+        edge_agg("label").alias("labels"),
+        edge_agg("n1").alias("node1"),
+        edge_agg("n2").alias("node2"),
+    )
+    return (
+        nodes_s.join(edges_s, "ex")
+        .select(F.col("ex").alias("example_id"), "nodes", "labels", "node1", "node2")
+    )
 
 
 def degree_table(edges: DataFrame, example_col: str = "doc_id") -> DataFrame:

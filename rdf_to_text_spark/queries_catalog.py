@@ -89,6 +89,41 @@ def kg_levi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_levi_edges_ne",
+    f"""WITH {fixtures.gold_cte()},
+base AS (
+  SELECT doc_id, sent_idx, lower(string_split(subj, '_')[1]) AS node1,
+         lower(pred) AS node2, 'A0' AS label FROM gold
+  UNION ALL
+  SELECT doc_id, sent_idx, lower(string_split(obj, '_')[1]) AS node1,
+         lower(pred) AS node2, 'A1' AS label FROM gold
+),
+ne AS (
+  SELECT g.doc_id, g.sent_idx, t.tok AS node1,
+         string_split(lower(g.subj), '_')[1] AS node2, 'NE' AS label
+  FROM gold g, unnest(string_split(lower(g.subj), '_')[2:]) t(tok)
+  UNION ALL
+  SELECT g.doc_id, g.sent_idx, t.tok,
+         string_split(lower(g.obj), '_')[1], 'NE'
+  FROM gold g, unnest(string_split(lower(g.obj), '_')[2:]) t(tok)
+)
+SELECT * FROM base UNION ALL SELECT * FROM ne""",
+)
+def kg_levi_edges_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: Levi edges plus NE multiword edges — every non-head token of
+    a multiword entity points at its head token
+    (build_dataset.py:53-61 / buildGraphWithNE,
+    webnlg_gcnonmt_input.py:88-150)."""
+    return graph.levi_edges(_triples(spark, sf_dir), with_ne=True).select(
+        F.col("doc_id").cast("long"),
+        F.col("sent_idx").cast("int"),
+        "node1",
+        "node2",
+        "label",
+    )
+
+
+@_register(
     "kg_canonicalize_first_token",
     f"""WITH {fixtures.gold_cte()},
 surfaces AS (
@@ -197,6 +232,80 @@ def kg_entry_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@_register(
+    "kg_gcn_arrays",
+    f"""WITH {fixtures.gold_cte()},
+e AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) - 1 AS eidx,
+         subj AS u, pred AS rel, obj AS v
+  FROM gold
+),
+np AS (
+  SELECT doc_id, name, min(p) AS npos FROM (
+    SELECT doc_id, u AS name, 2*eidx AS p FROM e
+    UNION ALL SELECT doc_id, v, 2*eidx + 1 FROM e
+  ) GROUP BY 1, 2
+),
+pp AS (SELECT doc_id, u, v, min(eidx) AS pairpos FROM e GROUP BY 1, 2, 3),
+em AS (
+  SELECT e.doc_id, e.u, e.rel, e.v,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY np.npos, pp.pairpos, e.eidx) - 1 AS j
+  FROM e
+  JOIN np ON np.doc_id = e.doc_id AND np.name = e.u
+  JOIN pp ON pp.doc_id = e.doc_id AND pp.u = e.u AND pp.v = e.v
+),
+occ AS (
+  SELECT doc_id, 3*j AS pos, u AS name, 0 AS is_rel, j FROM em
+  UNION ALL SELECT doc_id, 3*j + 1, rel, 1, j FROM em
+  UNION ALL SELECT doc_id, 3*j + 2, v, 0, j FROM em
+),
+mp AS (SELECT doc_id, name, min(pos) AS minpos FROM occ GROUP BY 1, 2),
+kept AS (
+  SELECT o.doc_id, o.pos, o.name, o.is_rel, o.j, mp.minpos
+  FROM occ o JOIN mp ON mp.doc_id = o.doc_id AND mp.name = o.name
+  WHERE o.is_rel = 1 OR o.pos = mp.minpos
+),
+ids AS (
+  SELECT doc_id, pos, name, is_rel, j, minpos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS nid
+  FROM kept
+),
+entid AS (SELECT doc_id, name, nid FROM ids WHERE pos = minpos),
+relid AS (SELECT doc_id, j, nid FROM ids WHERE is_rel = 1),
+pairs AS (
+  SELECT em.doc_id, em.j, 0 AS slot, 'A0' AS label, es.nid AS n1, r.nid AS n2
+  FROM em
+  JOIN entid es ON es.doc_id = em.doc_id AND es.name = em.u
+  JOIN relid r ON r.doc_id = em.doc_id AND r.j = em.j
+  UNION ALL
+  SELECT em.doc_id, em.j, 1, 'A1', eo.nid, r.nid
+  FROM em
+  JOIN entid eo ON eo.doc_id = em.doc_id AND eo.name = em.v
+  JOIN relid r ON r.doc_id = em.doc_id AND r.j = em.j
+),
+nodes_s AS (SELECT doc_id, string_agg(name, ' ' ORDER BY pos) AS nodes FROM ids GROUP BY doc_id),
+edges_s AS (
+  SELECT doc_id,
+         string_agg(label, ' ' ORDER BY j, slot) AS labels,
+         string_agg(CAST(n1 AS VARCHAR), ' ' ORDER BY j, slot) AS node1,
+         string_agg(CAST(n2 AS VARCHAR), ' ' ORDER BY j, slot) AS node2
+  FROM pairs GROUP BY doc_id
+)
+SELECT CAST(n.doc_id AS BIGINT) AS example_id, n.nodes, s.labels, s.node1, s.node2
+FROM nodes_s n JOIN edges_s s ON s.doc_id = n.doc_id""",
+)
+def kg_gcn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G3 `buildGraph`: the reference's four GCN input lines per
+    example (src-nodes / labels / node1 / node2), with its exact
+    MultiDiGraph adjacency iteration order and list.index node
+    addressing (webnlg_gcnonmt_input.py:49-86) — see
+    operators/graph.py:gcn_arrays. The oracle replays the construction
+    in SQL window functions over the gold triples."""
+    return graph.gcn_arrays(_triples(spark, sf_dir), "doc_id")
 
 
 @_register(

@@ -108,3 +108,43 @@ def test_serialize_paths_spark(spark):
     assert list(rows[1].gtr_jumps) == [5]
     assert rows[1].dropped_cyclic == 0
     assert rows[2].dropped_cyclic == 1 and rows[2].gtr_seq is None
+
+
+def test_gcn_arrays_reference_semantics(spark):
+    """buildGraph (webnlg_gcnonmt_input.py:49-86) hand-checked:
+    networkx MultiDiGraph adjacency iteration reorders edges (A's edges
+    first), rel nodes append per-edge even when duplicated, ents index
+    by first NAME occurrence."""
+    from rdf_to_text_spark.operators.graph import gcn_arrays
+
+    df = _triples_df(
+        spark,
+        [
+            (1, 0, "A", "x", "B"),
+            (1, 1, "C", "y", "D"),
+            (1, 2, "A", "z", "E"),   # adjacency order pulls this before (C,D)
+            (2, 0, "A", "x", "B"),
+            (2, 1, "B", "x", "C"),   # duplicate rel name -> fresh node
+        ],
+    )
+    rows = {r.example_id: r for r in gcn_arrays(df, "doc_id").collect()}
+    assert rows[1].nodes == "A x B z E C y D"
+    assert rows[1].labels == "A0 A1 A0 A1 A0 A1"
+    assert rows[1].node1 == "0 2 0 4 5 7"
+    assert rows[1].node2 == "1 1 3 3 6 6"
+    assert rows[2].nodes == "A x B x C"
+    assert rows[2].labels == "A0 A1 A0 A1"
+    assert rows[2].node1 == "0 2 2 4"
+    assert rows[2].node2 == "1 1 3 3"
+
+
+def test_gcn_arrays_ent_rel_name_collision(spark):
+    """A subject named like a relation indexes at the FIRST occurrence
+    of the NAME (list.index semantics, :66-72)."""
+    from rdf_to_text_spark.operators.graph import gcn_arrays
+
+    df = _triples_df(spark, [(1, 0, "x", "x", "B")])
+    row = gcn_arrays(df, "doc_id").collect()[0]
+    assert row.nodes == "x x B"
+    assert row.node1 == "0 2"   # subj indexes the first 'x'
+    assert row.node2 == "1 1"
