@@ -1053,6 +1053,28 @@ def eval_bleu_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalmetrics.bleu_stats(hyps, ref_a.unionByName(ref_b))
 
 
+@_register(
+    "events_salted_collect",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+       string_agg(event_type, ',' ORDER BY event_type) AS event_types
+FROM events GROUP BY user_id""",
+)
+def events_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew toolkit in the driver gate: two-phase salted collect_list —
+    per-(key, salt) partial lists merged per key, bounding any single
+    reducer's input on hot keys (operators/skew.py:salted_collect).
+    The oracle is the plain GROUP BY — the salting must be semantically
+    invisible."""
+    from .operators.skew import salted_collect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = salted_collect(ev.select("user_id", "event_type"), "user_id", "event_type")
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.array_join("event_types", ",").alias("event_types"),
+    )
+
+
 # ===================================================== relational proof
 @_register(
     "tpch_q1",
@@ -1164,6 +1186,56 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * (1 - disc)).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
+
+
+@_register(
+    "tpch_q4_late_orders",
+    """SELECT o.o_orderpriority AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the slim synthetic schema: order-priority
+    counts over orders with at least one lineitem shipping > 60 days
+    after the order date. The EXISTS becomes a LEFT SEMI join — the
+    shape that dedups the probe side inside the join instead of a
+    join + distinct."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_register(
+    "customers_inactive_1995",
+    """SELECT c.c_mktsegment AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY 1""",
+)
+def customers_inactive_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join: customers with no 1995 order,
+    rolled up by segment (the Q22-style churn shape). The order filter
+    sits below the join so the anti-join build side is a year's orders,
+    not all of them."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o95 = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    anti = c.join(o95, c.c_custkey == o95.o_custkey, "left_anti")
+    return anti.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
 
 
 @_register(
