@@ -22,6 +22,30 @@ def _ws_tokens(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+# GPT-2-style pre-tokenization pattern, restricted to what BOTH Java
+# regex (Spark) and RE2 (DuckDB) support identically: no lookahead, no
+# unicode property classes. Contraction suffixes first (leftmost-first
+# alternation in both engines), then space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count next to a
+    BPE-ish pre-tokenizer count (the GPT-2 split pattern above, pure
+    whitespace runs excluded). Engine-side `regexp_extract_all`, no
+    Python; the DuckDB oracle runs the same pattern through RE2."""
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    n_bpe = F.size(F.filter(matches, lambda m: F.trim(m) != F.lit("")))
+    return docs.select(
+        F.col(id_col).cast("long"),
+        F.size(_ws_tokens(text_col)).cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len) — whitespace tokens."""
     toks = _ws_tokens(text_col)

@@ -689,6 +689,25 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SQL = text_analysis.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@_register(
+    "token_counts_bpe",
+    rf"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL}', 0),
+            x -> trim(x) <> '')) AS INT) AS n_bpe_tokens
+FROM documents""",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both rungs of the mandate: whitespace tokens and
+    a BPE-ish pre-tokenizer count (GPT-2-style split pattern, identical
+    semantics in Java regex and RE2 — see
+    operators/text_analysis.py:BPE_ISH_PATTERN)."""
+    return text_analysis.bpe_token_count(_docs(spark, sf_dir))
+
+
 @_register(
     "doc_fingerprint",
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
