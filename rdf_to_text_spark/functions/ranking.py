@@ -1,0 +1,59 @@
+"""Distributed global ranking — no single-partition window.
+
+`row_number() OVER (ORDER BY ...)` with no PARTITION BY moves the whole
+relation to ONE task (Spark warns loudly). Fine for dictionary-sized
+inputs; wrong for a web-scale vocabulary where the long tail of rare
+words is itself huge. This is the classic zipWithIndex construction in
+DataFrame terms:
+
+  1. `repartitionByRange` on the order — contiguous sorted buckets,
+     balanced by sampling (no skew hot-spot);
+  2. local row numbers per bucket (window partitioned by bucket id —
+     every bucket is its own task);
+  3. driver-side cumulative bucket offsets (one tiny collect of
+     `n_buckets` counts) added back via a literal map.
+
+The result is identical to the global window for any TOTAL order; ties
+across a bucket boundary would be split arbitrarily, so `order_cols`
+must be tie-free (append a unique column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + `rn_col` = 1-based global rank under `order_cols` (must be a
+    total order). Two passes over the range-partitioned data (bucket
+    sizes, then ranks), so the input is persisted for the duration."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if not offsets:
+        return df.withColumn(rn_col, F.lit(None).cast("long"))
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.withColumn("_local", F.row_number().over(w))
+        .withColumn(rn_col, (omap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_local")
+    )
+    return out

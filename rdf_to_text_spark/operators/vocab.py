@@ -12,7 +12,7 @@ superset-deterministic version of the reference's ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SPECIALS = ["<pad>", "<start>", "<end>", "<unk>", "A0", "A1", "NE"]
@@ -35,15 +35,21 @@ def build_vocab(lines: DataFrame, text_col: str = "text", limit: int | None = No
     """(word, cnt, vocab_id) — freq-ranked ids after 7 specials.
 
     Specials occupy ids 0-6 (`build_vocab.py:36`); corpus words start
-    at 7. The single-partition rank window is fine: a vocabulary is
-    dictionary-sized by construction (the reference's is 2,793 words) —
-    the heavy part (corpus word count) is fully distributed above.
+    at 7. The rank is a DISTRIBUTED global row_number
+    (functions/ranking.py: range-partition + bucket offsets), not a
+    single-partition window: the reference's vocabulary is 2,793 words,
+    but a web corpus's long tail of rare words is itself huge, and the
+    id assignment must not funnel it through one task. (cnt desc, word)
+    is a total order — `word` is unique after the count groupBy.
     """
+    from ..functions.ranking import global_row_numbers
+
     counts = word_counts(lines, text_col)
     if limit:
         counts = counts.orderBy(F.desc("cnt"), "word").limit(limit)
-    w = Window.orderBy(F.desc("cnt"), "word")
-    ranked = counts.withColumn("vocab_id", F.row_number().over(w) + len(SPECIALS) - 1)
+    ranked = global_row_numbers(
+        counts, [F.col("cnt").desc(), F.col("word")], rn_col="_rn"
+    ).withColumn("vocab_id", (F.col("_rn") + len(SPECIALS) - 1).cast("int")).drop("_rn")
     spark = lines.sparkSession
     specials = spark.createDataFrame(
         [(tok, 0, i) for i, tok in enumerate(SPECIALS)], "word string, cnt long, vocab_id int"

@@ -514,10 +514,14 @@ def kg_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11+P12: truncate to max_enc_steps=53 tokens (utils/config.py:23),
     map token → vocab id with <unk>=3 fallback (data_loader.py:53-57).
     Vocabulary = words with count ≥ 5 (OOV exists by construction)."""
+    from .functions.ranking import global_row_numbers
+
     docs = _docs(spark, sf_dir)
     counts = vocab.word_counts(docs, "text").filter(F.col("cnt") >= 5)
-    w = Window.orderBy(F.desc("cnt"), "word")
-    v = counts.withColumn("vocab_id", F.row_number().over(w) + 6).select("word", "vocab_id")
+    v = (
+        global_row_numbers(counts, [F.col("cnt").desc(), F.col("word")], rn_col="_rn")
+        .select("word", (F.col("_rn") + 6).cast("int").alias("vocab_id"))
+    )
     toks = docs.select(
         F.col("doc_id").cast("long"),
         F.posexplode(

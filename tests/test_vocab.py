@@ -40,3 +40,32 @@ def test_build_vocab_ranking(spark):
     assert [r.vocab_id for r in corpus] == list(range(7, 7 + len(corpus)))
     cnts = [(-r.cnt, r.word) for r in corpus]
     assert cnts == sorted(cnts)
+
+
+def test_global_row_numbers_equals_single_window(spark):
+    """The distributed rank (range buckets + offsets) must equal the
+    single-partition window for any total order."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdf_to_text_spark.functions.ranking import global_row_numbers
+
+    random.seed(7)
+    rows = [(f"w{i:04d}", random.randrange(50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "word string, cnt long")
+    order = [F.col("cnt").desc(), F.col("word")]
+    got = {r.word: r.rn for r in global_row_numbers(df, order, num_partitions=7).collect()}
+    w = Window.orderBy(*order)
+    exp = {r.word: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == exp
+
+
+def test_global_row_numbers_empty(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_to_text_spark.functions.ranking import global_row_numbers
+
+    df = spark.createDataFrame([], "word string, cnt long")
+    assert global_row_numbers(df, [F.col("cnt")]).count() == 0
