@@ -29,15 +29,26 @@ def global_row_numbers(
     order_cols: list[Column],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """df + `rn_col` = 1-based global rank under `order_cols` (must be a
-    total order). Two passes over the range-partitioned data (bucket
-    sizes, then ranks), so the input is persisted for the duration."""
+    total order).
+
+    Hybrid, like connected_components' local finish: the bucket-offset
+    machinery needs a size pass anyway, so inputs at or under
+    `small_threshold` rows take the plain single-partition window — at
+    dictionary scale the distributed path is pure fixed overhead (an
+    extra exchange + collect), while at web scale the window is the
+    bottleneck. Set small_threshold=0 to force the distributed path.
+    The input is persisted for the duration (both paths read it twice).
+    """
+    src = df.persist()
+    if src.count() <= small_threshold:
+        w = Window.orderBy(*order_cols)
+        return src.withColumn(rn_col, F.row_number().over(w).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = src.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
     sizes = {
         r._pid: r.n

@@ -56,7 +56,12 @@ def test_global_row_numbers_equals_single_window(spark):
     rows = [(f"w{i:04d}", random.randrange(50)) for i in range(2000)]
     df = spark.createDataFrame(rows, "word string, cnt long")
     order = [F.col("cnt").desc(), F.col("word")]
-    got = {r.word: r.rn for r in global_row_numbers(df, order, num_partitions=7).collect()}
+    got = {
+        r.word: r.rn
+        for r in global_row_numbers(
+            df, order, num_partitions=7, small_threshold=0  # force distributed path
+        ).collect()
+    }
     w = Window.orderBy(*order)
     exp = {r.word: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == exp
