@@ -132,7 +132,12 @@ def link_surface(surface: str, aliases: dict[str, tuple[str, str]]) -> str | Non
 def _extract_from_text(
     doc_id: int, url: str, text: str, bank: PatternBank, aliases: dict
 ) -> list[tuple]:
-    """Extract linked triples from one normalized page text."""
+    """Extract linked triples from one normalized page text.
+
+    TEST-ONLY executable spec: the per-row loop here defines the
+    semantics that the vectorized `_extract_batch` must match (pinned
+    in tests/test_extract.py). Never wire this into a pipeline — the
+    hot path is the Arrow-batched vectorized kernel."""
     rows: list[tuple] = []
     pos = 0
     for sent_idx, sentence in enumerate(text.split(" . ")):
