@@ -615,6 +615,52 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_ngram_jaccard",
+    """WITH cnt AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS gram
+  FROM toks CROSS JOIN generate_series(1, 1000) g(i)
+  WHERE g.i <= greatest(len(t) - 2, 1)
+),
+pairs AS (
+  SELECT d.doc_id AS doc_a, (d.doc_id + 1) % cnt.n AS doc_b
+  FROM documents d CROSS JOIN cnt
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY 1)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       coalesce(i.i, 0) / (sa.s + sb.s - coalesce(i.i, 0)) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's exact-verify rung in the driver gate: trigram
+    Jaccard over a deterministic candidate set (each doc paired with its
+    wrap-around successor). Integer set sizes divide in double — both
+    engines produce the identical value."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), ((F.col("doc_id") + 1) % n).alias("doc_b")
+    )
+    out = dedup.ngram_jaccard(docs, pairs, n=3)
+    return out.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
+    )
+
+
 @_register("dedup_minhash_pairs")  # rows-only: hash family not ANSI-SQL
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over documents."""
