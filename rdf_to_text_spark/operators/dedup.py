@@ -230,6 +230,51 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(F.col(id_col), vote(hashes).alias("simhash"))
 
 
+def simhash_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash_hex: 16-char string) — SimHash over a PORTABLE
+    token hash (the top 64 bits of md5), so the whole algorithm — token
+    hashing, per-bit majority vote, signature assembly — is replayable
+    in ANSI-ish SQL and hash-checked by the driver oracle
+    (`dedup_simhash_md5`). The xxhash64 variant (:func:`simhash`) stays
+    the fast path; this one pays an md5 per token.
+
+    Same zero-shuffle shape: md5 computed engine-side inside a
+    higher-order transform, the vote in one vectorized numpy pandas_udf
+    (hex parsing via an ASCII lookup table — no per-token Python).
+    The signature is emitted as hex so bit 63 needs no signed-long
+    wraparound games on either engine."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+
+    _LUT = np.zeros(256, dtype=np.uint64)
+    for i, ch in enumerate("0123456789abcdef"):
+        _LUT[ord(ch)] = i
+    _NWEIGHTS = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+
+    @F.pandas_udf("string")
+    def vote(harr: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for hl in harr:
+            hl = list(hl)
+            if not hl:
+                out.append("0" * 16)
+                continue
+            asc = np.frombuffer("".join(hl).encode("ascii"), dtype=np.uint8)
+            vals = (_LUT[asc].reshape(-1, 16) * _NWEIGHTS).sum(axis=1, dtype=np.uint64)
+            ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            mask = 2 * ones > len(hl)
+            sig = int((( np.uint64(1) << shifts) * mask).sum(dtype=np.uint64))
+            out.append(f"{sig:016x}")
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), vote(hexes).alias("simhash_hex"))
+
+
 def simhash_dataframe(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -667,10 +667,44 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
-@_register("dedup_simhash")  # rows-only: bit-assembly not portable SQL
+@_register("dedup_simhash")  # rows-only: xxhash64 not portable SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pure DataFrame formulation)."""
+    """64-bit SimHash per document (zero-shuffle numpy vote over
+    engine-side xxhash64 — the fast path; the algorithm itself is
+    hash-checked via the md5-portable twin below)."""
     return dedup.simhash(_docs(spark, sf_dir))
+
+
+@_register(
+    "dedup_simhash_md5",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(2 * (((strpos('0123456789abcdef', substr(hx, 16 - (b.i // 4), 1)) - 1)
+                   >> (b.i % 4)) & 1) - 1) AS s
+  FROM h CROSS JOIN generate_series(0, 63) b(i)
+  GROUP BY 1, 2
+),
+nib AS (
+  SELECT doc_id, 15 - (bit // 4) AS j,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << (bit % 4))) AS nv
+  FROM bits GROUP BY 1, 2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY j) AS simhash_hex
+FROM nib GROUP BY doc_id""",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a PORTABLE token hash (top 64 bits of md5), so token
+    hashing, the per-bit majority vote, and the signature assembly are
+    all replayed by the DuckDB oracle and hash-checked — the rows-only
+    xxhash64 variant's algorithm, proven. Emitted as hex (bit 63 needs
+    no signed-long wraparound on either engine)."""
+    return dedup.simhash_md5(_docs(spark, sf_dir))
 
 
 @_register(

@@ -180,3 +180,30 @@ def test_lsh_topk_recall(spark):
            for r in similarity.cosine_topk_lsh(df, q, k=5).collect()}
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.8, recall
+
+
+def test_simhash_md5_matches_hashlib_twin(spark):
+    """The portable (md5-token-hash) simhash must equal a literal
+    hashlib reimplementation — same bits the DuckDB oracle replays."""
+    import hashlib
+
+    def twin(text):
+        toks = text.lower().strip().split()
+        vals = [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks]
+        sig = 0
+        for i in range(64):
+            s = sum(1 if (v >> i) & 1 else -1 for v in vals)
+            if s > 0:
+                sig |= 1 << i
+        return f"{sig:016x}"
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "repeated repeated tokens tokens tokens",
+        "single",
+        "MIXED case And   Whitespace ",
+    ]
+    docs = _docs(spark, texts)
+    got = {r.doc_id: r.simhash_hex for r in dedup.simhash_md5(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == twin(t), (i, t)
