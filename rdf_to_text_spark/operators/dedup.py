@@ -188,6 +188,143 @@ def minhash_lsh_candidates(
     )
 
 
+def _hex16_to_uint64(hex_list: list) -> "np.ndarray":
+    """Vectorized 16-hex-char → uint64 (ASCII lookup table)."""
+    asc = np.frombuffer("".join(hex_list).encode("ascii"), dtype=np.uint8)
+    return (_HEX_LUT[asc].reshape(-1, 16) * _HEX_WEIGHTS).sum(axis=1, dtype=np.uint64)
+
+
+_HEX_LUT = np.zeros(256, dtype=np.uint64)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEX_LUT[ord(_c)] = _i
+_HEX_WEIGHTS = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+
+
+def minhash_signatures_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures over a PORTABLE
+    hash family, replayable in SQL (the oracle for
+    `dedup_minhash_md5_pairs`):
+
+      x   = top 64 bits of md5(shingle)        (engine-side md5)
+      h_k = ((a_k·x) mod 2⁶⁴ + b_k) mod 2⁶⁴ mod p,  p = 2⁶¹-1
+
+    The mod-2⁶⁴ wrap is EXPLICIT in the definition because numpy uint64
+    arithmetic wraps — the DuckDB replay emulates the same wrap in
+    HUGEINT. (a_k, b_k) come from the same fixed-seed RNG as the fast
+    variant. Shingle strings and their md5 are built engine-side; the
+    UDF only parses hex and does the (num_perm × n_shingles) broadcast.
+    """
+    rng = np.random.RandomState(seed)
+    p = (1 << 61) - 1
+    a = rng.randint(1, p, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, p, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = shingle_k
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hexes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 16))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hex_lists: pd.Series) -> pd.Series:
+        sigs = []
+        for hl in hex_lists:
+            hl = list(hl)
+            if not hl:
+                sigs.append([0] * num_perm)
+                continue
+            x = _hex16_to_uint64(hl)
+            vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(p)
+            sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(sigs)
+
+    return docs.select(F.col(id_col), sig_udf(hexes).alias("sig"))
+
+
+def minhash_lsh_candidates_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Portable-hash twin of :func:`minhash_lsh_candidates` — same
+    bucketed shape (ids-only self-join, bucket cap, signatures
+    re-attached after pair dedup), but every hash is SQL-replayable:
+    band buckets are md5 over the band's comma-joined signature slice
+    prefixed with the band index."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures_md5(docs, text_col, id_col, num_perm, shingle_k).persist()
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.md5(
+                    F.concat(
+                        bidx.cast("string"),
+                        F.lit(":"),
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), bidx * rows_per_band + 1, rows_per_band
+                            ).cast("array<string>"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    bucket_w = Window.partitionBy("band", "bucket")
+    kept = (
+        banded.withColumn("_bsz", F.count("*").over(bucket_w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    pairs = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = pairs.join(
+        sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda u, v: (u == v).cast("int")),
+            lambda z: z == 1,
+        )
+    )
+    return scored.select(
+        "doc_a", "doc_b", (agree / F.lit(num_perm)).alias("est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash: long) 64-bit SimHash over unigram xxhash64.
@@ -250,11 +387,6 @@ def simhash_md5(
     )
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
 
-    _LUT = np.zeros(256, dtype=np.uint64)
-    for i, ch in enumerate("0123456789abcdef"):
-        _LUT[ord(ch)] = i
-    _NWEIGHTS = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
-
     @F.pandas_udf("string")
     def vote(harr: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)
@@ -264,8 +396,7 @@ def simhash_md5(
             if not hl:
                 out.append("0" * 16)
                 continue
-            asc = np.frombuffer("".join(hl).encode("ascii"), dtype=np.uint8)
-            vals = (_LUT[asc].reshape(-1, 16) * _NWEIGHTS).sum(axis=1, dtype=np.uint64)
+            vals = _hex16_to_uint64(hl)
             ones = ((vals[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             mask = 2 * ones > len(hl)
             sig = int((( np.uint64(1) << shifts) * mask).sum(dtype=np.uint64))

@@ -661,10 +661,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_minhash_pairs")  # rows-only: hash family not ANSI-SQL
+@_register("dedup_minhash_pairs")  # rows-only: pd.util.hash_array not ANSI-SQL
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs over documents."""
+    """MinHash-LSH near-dup candidate pairs (fast path; the algorithm
+    is hash-checked via the md5-portable twin below)."""
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _minhash_ab_values() -> str:
+    """(k, a, b) literals from the same fixed-seed RNG as the operator."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(42)
+    p = (1 << 61) - 1
+    a = rng.randint(1, p, size=64, dtype=_np.int64)
+    b = rng.randint(0, p, size=64, dtype=_np.int64)
+    return ", ".join(f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64))
+
+
+@_register(
+    "dedup_minhash_md5_pairs",
+    rf"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (  -- trigram shingles, multiset (min over dups == min over set)
+  SELECT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS s
+  FROM toks CROSS JOIN generate_series(1, 1000) g(i)
+  WHERE g.i <= greatest(len(t) - 2, 1)
+),
+x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x FROM sh),
+ab(k, a, b) AS (VALUES {_minhash_ab_values()}),
+hv AS (  -- h_k = ((a*x) mod 2^64 + b) mod 2^64 mod p  (numpy uint64 wrap)
+  SELECT x.doc_id, ab.k,
+         min(CAST((((CAST(ab.a AS HUGEINT) * x.x) % 18446744073709551616
+                    + ab.b) % 18446744073709551616) % 2305843009213693951 AS BIGINT)) AS v
+  FROM x CROSS JOIN ab GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bsig
+  FROM hv GROUP BY doc_id, k // 4
+),
+buck AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || ':' || bsig) AS bucket FROM sig
+),
+keep AS (
+  SELECT * FROM (
+    SELECT b.*, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM buck b
+  ) WHERE bsz <= 128
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT p.doc_a, p.doc_b, sum(CASE WHEN ha.v = hb.v THEN 1 ELSE 0 END) AS m
+  FROM prs p
+  JOIN hv ha ON ha.doc_id = p.doc_a
+  JOIN hv hb ON hb.doc_id = p.doc_b AND hb.k = ha.k
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       m / 64 AS est_jaccard
+FROM agree""",
+)
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates over a PORTABLE hash family: md5 shingle
+    hashes, wrap-explicit universal hashing, md5 band buckets — the
+    ENTIRE candidate pipeline (signatures, banding, bucket cap, pair
+    dedup, agreement estimate) replayed by the DuckDB oracle. The
+    pd.util.hash_array variant stays the fast path."""
+    return dedup.minhash_lsh_candidates_md5(_docs(spark, sf_dir))
 
 
 @_register("dedup_simhash")  # rows-only: xxhash64 not portable SQL

@@ -207,3 +207,20 @@ def test_simhash_md5_matches_hashlib_twin(spark):
     got = {r.doc_id: r.simhash_hex for r in dedup.simhash_md5(docs).collect()}
     for i, t in enumerate(texts):
         assert got[i] == twin(t), (i, t)
+
+
+def test_minhash_md5_twin_near_dups(spark):
+    """The portable-hash MinHash twin must find the same near-dup
+    structure as the fast variant: identical docs at est 1.0, clear
+    near-dups surfaced, unrelated pairs absent."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark shuffle partitions and arrow batches"
+    docs = _docs(spark, [base, near, far, base])
+    found = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_candidates_md5(docs).collect()
+    }
+    assert found[(0, 3)] == 1.0
+    assert (0, 1) in found and found[(0, 1)] > 0.5
+    assert (0, 2) not in found and (1, 2) not in found
