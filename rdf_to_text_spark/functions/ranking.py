@@ -36,24 +36,36 @@ def global_row_numbers(
 
     Hybrid, like connected_components' local finish: the bucket-offset
     machinery needs a size pass anyway, so inputs at or under
-    `small_threshold` rows take the plain single-partition window — at
-    dictionary scale the distributed path is pure fixed overhead (an
-    extra exchange + collect), while at web scale the window is the
+    `small_threshold` rows (measured from the bucket sizes) take the
+    plain single-partition window — at dictionary scale the distributed
+    path is pure fixed overhead, while at web scale the window is the
     bottleneck. Set small_threshold=0 to force the distributed path.
-    The input is persisted for the duration (both paths read it twice).
+
+    CORRECTNESS NOTE — the range-partitioned frame MUST be persisted
+    before the sizes pass: `repartitionByRange` samples its boundaries
+    per execution (the sampler is seeded from the RDD id, which changes
+    per job), so without the cache the sizes job and the output job
+    could place a row in different buckets and the offsets would
+    misalign — duplicate/skipped ranks. The persist pins one set of
+    boundaries; it is deliberately NOT unpersisted (the caller's action
+    happens after we return), so the cache lives until session end —
+    acceptable for rank-table-sized data, documented here.
     """
-    src = df.persist()
-    if src.count() <= small_threshold:
-        w = Window.orderBy(*order_cols)
-        return src.withColumn(rn_col, F.row_number().over(w).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = src.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     sizes = {
         r._pid: r.n
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
+    if sum(sizes.values()) <= small_threshold:
+        w = Window.orderBy(*order_cols)
+        return ranged.drop("_pid").withColumn(
+            rn_col, F.row_number().over(w).cast("long")
+        )
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc

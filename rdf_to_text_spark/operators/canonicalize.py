@@ -177,13 +177,16 @@ def connected_components(
     if local_finish_threshold and e.count() <= local_finish_threshold:
         return _finish_locally(e)
     converged = False
+    e_checkpointed = True
     for i in range(max_iter):
         new_e = _star_round(e)
+        e_checkpointed = False
         # Checkpoint + convergence-probe only every `check_every` rounds:
         # an eager localCheckpoint per round (full edge-set write+read)
         # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
             new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
+            e_checkpointed = True
             if local_finish_threshold and new_e.count() <= local_finish_threshold:
                 return _finish_locally(new_e)
             if _is_min_rooted_star_forest(new_e):
@@ -194,8 +197,10 @@ def connected_components(
     if not converged:
         # The loop may have hit the fixed point on an unprobed round.
         # Truncated contraction must fail LOUDLY — a partially-contracted
-        # edge set maps nodes to wrong components.
-        e = e.localCheckpoint(eager=True)
+        # edge set maps nodes to wrong components. (Skip the re-checkpoint
+        # when the final loop round already checkpointed.)
+        if not e_checkpointed:
+            e = e.localCheckpoint(eager=True)
         if not _is_min_rooted_star_forest(e):
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds; "
@@ -232,8 +237,13 @@ def alias_clusters(surfaces: DataFrame, surface_col: str = "surface") -> DataFra
             F.lower(F.split(F.col(surface_col), r"\(").getItem(0)), r"\s+", " "
         )
     )
+    # paren-LEADING surfaces ("(500) Days of Summer") have an empty
+    # pre-paren base; falling back to the full lowered surface keeps
+    # them from all collapsing into one ''-keyed cluster
+    full = F.trim(F.regexp_replace(F.lower(F.col(surface_col)), r"\s+", " "))
+    key = F.when(base == "", full).otherwise(base)
     keyed = (
-        surfaces.select(surface_col).distinct().withColumn("alias_key", base)
+        surfaces.select(surface_col).distinct().withColumn("alias_key", key)
     )
     reps = keyed.groupBy("alias_key").agg(F.min(surface_col).alias("rep"))
     return keyed.join(reps, "alias_key").select(

@@ -126,10 +126,13 @@ def minhash_lsh_candidates(
         bytes/row instead of ~550;
       * buckets larger than `max_bucket` are dropped BEFORE the join:
         a degenerate bucket (empty/boilerplate docs all sharing one
-        band hash) would otherwise go quadratic. Dropped buckets lose
-        only that band's votes — a true near-dup pair still collides
-        in its other bands (and docs that degenerate are exact dups,
-        which the exact-dedup rung catches first);
+        band hash) would otherwise go quadratic. This is a recall
+        trade, stated plainly: a NEAR-dup of an over-cap exact-dup
+        cluster loses every band it shares with the cluster (its other
+        bands hold it alone), so such pairs are not emitted — the
+        standard web-dedup posture, where over-cap clusters are exact
+        dups that the exact rung collapses to one keeper first, after
+        which the near-dup collides with the keeper normally;
       * signatures are persisted: they feed the banding pass AND the
         two re-attach joins, and recomputing the UDF 3× would dominate.
     """
@@ -241,7 +244,7 @@ def minhash_signatures_md5(
     def sig_udf(hex_lists: pd.Series) -> pd.Series:
         sigs = []
         for hl in hex_lists:
-            hl = list(hl)
+            hl = list(hl) if hl is not None else []  # NULL text -> NULL array
             if not hl:
                 sigs.append([0] * num_perm)
                 continue
@@ -354,6 +357,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         weights = np.uint64(1) << shifts
         out = np.zeros(len(harr), dtype=np.int64)
         for i, hl in enumerate(harr):
+            if hl is None:  # NULL text propagates a NULL hash array
+                continue
             h = np.asarray(hl, dtype=np.int64).view(np.uint64)
             if h.size == 0:
                 continue
@@ -392,7 +397,7 @@ def simhash_md5(
         shifts = np.arange(64, dtype=np.uint64)
         out = []
         for hl in harr:
-            hl = list(hl)
+            hl = list(hl) if hl is not None else []  # NULL text -> NULL array
             if not hl:
                 out.append("0" * 16)
                 continue

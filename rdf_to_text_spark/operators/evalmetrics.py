@@ -73,14 +73,19 @@ def bleu_stats(
 
     hyps: one row per sentence id; refs: one row per (id, reference) —
     the K3 layout after reading `reference{j}` partitions back.
-    Sentences whose id has no reference rows contribute nothing
-    (multi-bleu reads aligned files, so that shape cannot occur there).
+    Sentences whose id has no reference rows contribute nothing — they
+    are semi-joined out up front so they can neither inflate the
+    precision denominators nor skew the length sums (multi-bleu reads
+    aligned files, so that shape cannot occur there).
     """
-    h = hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
     r = refs.select(
         F.col(id_col).alias("id"),
         _toks(ref_col).alias("rtoks"),
         F.monotonically_increasing_id().alias("rkey"),
+    )
+    h = (
+        hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
+        .join(r.select("id").distinct(), "id", "left_semi")
     )
 
     # ---- lengths: hyp length + closest-length reference per sentence

@@ -108,8 +108,12 @@ def gcn_arrays(
     Everything is windows + joins — no Python, no collect; the grouped
     strings are per-example sized (≤ 7 triples in the reference).
     """
-    w_e = Window.partitionBy(example_col).orderBy(order_col)
     fuse = lambda c: F.concat_ws("_", F.split(F.col(c), r"\s+"))  # noqa: E731
+    # (subj, pred, obj) tiebreak keeps eidx deterministic when several
+    # triples share one order_col value (same-sentence extractions)
+    w_e = Window.partitionBy(example_col).orderBy(
+        order_col, fuse("subj"), fuse("pred"), fuse("obj")
+    )
     e = triples.select(
         F.col(example_col).cast("long").alias("ex"),
         (F.row_number().over(w_e) - 1).alias("eidx"),
@@ -365,7 +369,11 @@ def serialize_paths(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if order_col:
-            pdf = pdf.sort_values(order_col)
+            # (subj, pred, obj) tiebreak: rows arriving with EQUAL
+            # order_col values would otherwise keep their shuffle order
+            # (sort_values' default quicksort is unstable) and make the
+            # serialization nondeterministic run-to-run
+            pdf = pdf.sort_values([order_col, "subj", "pred", "obj"])
         edges = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
         res = bfs_path_py(edges)
         if res is None:

@@ -682,7 +682,8 @@ def _minhash_ab_values() -> str:
 @_register(
     "dedup_minhash_md5_pairs",
     rf"""WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
 ),
 sh AS (  -- trigram shingles, multiset (min over dups == min over set)
   SELECT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS s
@@ -731,8 +732,11 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, wrap-explicit universal hashing, md5 band buckets — the
     ENTIRE candidate pipeline (signatures, banding, bucket cap, pair
     dedup, agreement estimate) replayed by the DuckDB oracle. The
-    pd.util.hash_array variant stays the fast path."""
-    return dedup.minhash_lsh_candidates_md5(_docs(spark, sf_dir))
+    pd.util.hash_array variant stays the fast path. Empty/NULL docs
+    filtered on both sides (NULL text diverges: the engine shingles it
+    as [''], the oracle drops it)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    return dedup.minhash_lsh_candidates_md5(docs)
 
 
 @_register("dedup_simhash")  # rows-only: xxhash64 not portable SQL
@@ -747,7 +751,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_md5",
     r"""WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ),
 h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks WHERE tok <> ''),
 bits AS (
@@ -771,8 +775,12 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, the per-bit majority vote, and the signature assembly are
     all replayed by the DuckDB oracle and hash-checked — the rows-only
     xxhash64 variant's algorithm, proven. Emitted as hex (bit 63 needs
-    no signed-long wraparound on either engine)."""
-    return dedup.simhash_md5(_docs(spark, sf_dir))
+    no signed-long wraparound on either engine). Empty/whitespace-only
+    docs are filtered on BOTH sides (the engine would emit a 0
+    signature while the oracle's token filter drops the doc — align by
+    dropping them everywhere)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    return dedup.simhash_md5(docs)
 
 
 @_register(
@@ -1138,9 +1146,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "eval_bleu_counts",
     """WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
 ),
-cnt AS (SELECT count(*) AS n FROM documents),
+cnt AS (SELECT count(*) AS n FROM docs),
 hyps AS (SELECT doc_id AS id, toks FROM docs),
 refs AS (
   SELECT doc_id AS id, 0 AS rkey, toks[1:8] AS toks FROM docs
@@ -1207,8 +1216,11 @@ def eval_bleu_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's text (wrap-around). Clipped n-gram matches (n=1..4),
     hypothesis length and closest-reference length — all exact
     integers, so the DuckDB replay hash-matches; the float BLEU
-    assembly on top is covered by the multi-bleu.perl twin tests."""
-    docs = _docs(spark, sf_dir)
+    assembly on top is covered by the multi-bleu.perl twin tests.
+    Empty/whitespace-only docs are filtered on both sides (DuckDB's
+    split of '' yields [''] while the engine's tokenizer yields [] —
+    drop the divergent edge everywhere)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     n = docs.count()  # scalar modulus for the wrap-around reference
     toks = F.split(F.trim(F.col("text")), r"\s+")
     hyps = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("hyp"))

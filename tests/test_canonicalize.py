@@ -168,3 +168,21 @@ def test_connected_components_chain(spark):
            for r in connected_components(df, local_finish_threshold=0).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_alias_clusters_paren_leading_surfaces(spark):
+    """Surfaces with an EMPTY pre-paren base (paren-leading titles) must
+    not all collapse into one ''-keyed cluster (review regression)."""
+    from rdf_to_text_spark.operators.canonicalize import alias_clusters
+
+    surfaces = spark.createDataFrame(
+        [
+            ("(500) Days of Summer",),
+            ("(What's the Story) Morning Glory?",),
+            ("Aarhus",),
+        ],
+        "surface string",
+    )
+    got = {r.surface: r.rep for r in alias_clusters(surfaces).collect()}
+    assert got["(500) Days of Summer"] != got["(What's the Story) Morning Glory?"]
+    assert got["(500) Days of Summer"] == "(500) Days of Summer"

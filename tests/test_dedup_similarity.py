@@ -224,3 +224,19 @@ def test_minhash_md5_twin_near_dups(spark):
     assert found[(0, 3)] == 1.0
     assert (0, 1) in found and found[(0, 1)] > 0.5
     assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_null_text_does_not_crash_hash_ops(spark):
+    """NULL text rows must not crash the vectorized UDFs (regression:
+    np.asarray(None) / list(None) raised TypeError)."""
+    docs = spark.createDataFrame(
+        [(0, "real text here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sh[1] == 0 and sh[2] == 0 and sh[0] != 0
+    shm = {r.doc_id: r.simhash_hex for r in dedup.simhash_md5(docs).collect()}
+    assert shm[1] == "0" * 16 and shm[2] == "0" * 16 and shm[0] != "0" * 16
+    # minhash paths: just must not raise
+    dedup.minhash_lsh_candidates(docs).collect()
+    dedup.minhash_lsh_candidates_md5(docs).collect()

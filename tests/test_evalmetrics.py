@@ -71,3 +71,19 @@ def test_known_value_single_pair(spark):
 def test_brevity_penalty_formula(spark):
     got = _spark_bleu(spark, ["brown fox"], [["the quick brown fox jumps today"]])
     assert got.bp == pytest.approx(math.exp(1 - 6 / 2))
+
+
+def test_refless_hypotheses_contribute_nothing(spark):
+    """A hypothesis id with no reference rows must not inflate the
+    precision denominators or the length sums (review regression)."""
+    hyps = ["the cat sat on the mat", "orphan hypothesis with no refs"]
+    refs = [["the cat sat on the mat today"]]  # only id 0 has refs
+    hdf = spark.createDataFrame(list(enumerate(hyps)), "id long, hyp string")
+    rdf = spark.createDataFrame([(0, refs[0][0])], "id long, ref string")
+    got = corpus_bleu(hdf, rdf).collect()[0]
+    exp = corpus_bleu_py(hyps[:1], refs)  # twin sees only the ref'd pair
+    assert got.hyp_len == exp["hyp_len"]
+    assert got.ref_len == exp["ref_len"]
+    for n in range(1, 5):
+        assert got[f"p{n}"] == pytest.approx(exp["ps"][n - 1], abs=1e-12)
+    assert got.bleu == pytest.approx(exp["bleu"], abs=1e-12)
