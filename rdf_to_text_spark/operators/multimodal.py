@@ -99,6 +99,67 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plumbing: aspect-preserving clamp of the longest
+    side to `max_side`, never upscaling.
+
+    The TARGET GEOMETRY is computed engine-side (codegen, prunable
+    before any payload is touched — e.g. filter out rows already small
+    enough); only the byte kernel runs in Python. That kernel is a
+    deterministic STUB (a strided byte subsample at the same area ratio
+    a real resampler would produce) until Pillow exists in the runtime —
+    same signature, same Arrow batch shape, loudly marked like
+    :func:`decode_image`.
+    """
+    w, h = F.col("meta.width"), F.col("meta.height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(F.lit(1.0))
+    planned = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("target_w"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("target_h"),
+        "payload",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads, out_bytes = [], []
+            for p, ww, hh, tw, th in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["target_w"], pdf["target_h"]
+            ):
+                p = p or b""
+                area_ratio = (tw * th) / max(ww * hh, 1)
+                n_out = max(int(len(p) * area_ratio), 1) if p else 0
+                # STUB kernel: strided byte subsample (deterministic);
+                # a real build replaces this one expression with
+                # Pillow's resize over decode_image(p)
+                step = max(len(p) // n_out, 1) if n_out else 1
+                q = p[::step][:n_out]
+                out_payloads.append(q)
+                out_bytes.append(len(q))
+            pdf = pdf.copy()
+            pdf["payload"] = out_payloads
+            pdf["n_bytes"] = out_bytes
+            yield pdf
+
+    return planned.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
 
