@@ -45,3 +45,86 @@ def test_running_counts_accumulate_across_microbatches(spark):
         assert stream_totals == batch_totals
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_session_window_stream_equals_batch(spark):
+    """session_window streaming rollup ≡ the batch gap sessionizer on
+    the same events (compared on (user, start, end, n_events) — session
+    ids are a batch-side artifact)."""
+    import duckdb  # noqa: F401  (parity of imports with other tests)
+
+    from rdf_to_text_spark.queries_catalog import events_sessionize
+    from rdf_to_text_spark.streaming.sessionize import stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        # precondition for equivalence: no adjacent pair exactly at the gap
+        w = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        )
+        assert ev.withColumn("g", w).filter(F.col("g") == 1800).count() == 0
+
+        # split into 3 files so multiple micro-batches actually run
+        for i in range(3):
+            ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.parquet(
+                f"{work}/in/f{i}", mode="overwrite"
+            )
+        os.makedirs(f"{work}/flat", exist_ok=True)
+        for i, p in enumerate(glob.glob(f"{work}/in/f*/part-*.parquet")):
+            shutil.copy(p, f"{work}/flat/{i:03d}.parquet")
+
+        # files are split by event_id (NOT time-ordered), so a realistic
+        # watermark would legitimately drop late events; widen it past
+        # the fixture's disorder to test operator equivalence itself
+        q = stream_sessionize(
+            spark, f"{work}/flat", f"{work}/ckpt",
+            watermark="3650 days", query_name="sess_t",
+        )
+        q.awaitTermination(180)
+
+        stream_rows = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_t").collect()
+        }
+        batch_rows = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in events_sessionize(spark, sf).collect()
+        }
+        assert stream_rows == batch_rows
+        assert len(stream_rows) > 100
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_session_window_watermark_drops_late_events(spark):
+    """With a realistic watermark, events arriving out of time order
+    beyond the bound are dropped — the state-bounding contract."""
+    from rdf_to_text_spark.queries_catalog import events_sessionize
+    from rdf_to_text_spark.streaming.sessionize import stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="sess_late_")
+    try:
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        for i in range(3):  # event_id split => heavy time disorder across files
+            ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.parquet(
+                f"{work}/in/f{i}", mode="overwrite"
+            )
+        os.makedirs(f"{work}/flat", exist_ok=True)
+        for i, p in enumerate(glob.glob(f"{work}/in/f*/part-*.parquet")):
+            shutil.copy(p, f"{work}/flat/{i:03d}.parquet")
+        q = stream_sessionize(
+            spark, f"{work}/flat", f"{work}/ckpt",
+            watermark="2 hours", query_name="sess_late",
+        )
+        q.awaitTermination(180)
+        n_stream = spark.sql("SELECT sum(n_events) AS n FROM sess_late").collect()[0].n
+        n_batch = sum(r.n_events for r in events_sessionize(spark, sf).collect())
+        assert n_stream < n_batch  # late events were dropped, by contract
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
