@@ -1422,6 +1422,39 @@ def customers_inactive_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tpch_q17_small_orders",
+    """WITH pp AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         CAST(count(*) AS BIGINT) AS cq
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN pp ON pp.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * pp.cq < pp.sq""",
+)
+def tpch_q17_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery (quantity below
+    20% of the per-part average) DECORRELATED into a per-part aggregate
+    + join — the plan a 100-TB engine wants instead of a re-executed
+    subquery. Threshold in exact DECIMAL integer arithmetic
+    (5·qty·cnt < sum ⟺ qty < 0.2·avg), so no float-average boundary
+    can flip a row between engines; the final division to double
+    happens once, identically, on both sides."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sq"), F.count("*").alias("cq")
+    )
+    j = li.join(pp, "l_partkey").filter(5 * qty * F.col("cq") < F.col("sq"))
+    return j.agg(
+        F.count("*").alias("n_small"),
+        (F.sum(price).cast("double") / 7.0).cast("double").alias("avg_yearly"),
+    )
+
+
+@_register(
     "orders_running_total",
     """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey,
