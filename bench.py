@@ -59,6 +59,7 @@ def main() -> None:
         name
         for name in (
             "kg_extract_triples",
+            "kg_detect_mentions",
             "kg_vocab_topk",
             "kg_levi_edges",
             "kg_triple_support",

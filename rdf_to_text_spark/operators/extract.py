@@ -39,7 +39,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.ahocorasick import AhoCorasick
 from ..templates import TEMPLATES, build_alias_index
 
 TRIPLES_SCHEMA = StructType(
@@ -322,38 +321,63 @@ MENTIONS_SCHEMA = StructType(
     ]
 )
 
-_TRIE: AhoCorasick | None = None
-_TRIE_PATTERNS: list[tuple[str, str, str]] | None = None
+_SCANNER: "TokenGramScanner | None" = None
+_SCAN_COLS: tuple | None = None  # (surf, ent, cat) pa.string arrays by pid
 
 
-def _get_trie() -> tuple[AhoCorasick, list[tuple[str, str, str]]]:
-    """Aho-Corasick over every alias surface, built once per executor."""
-    global _TRIE, _TRIE_PATTERNS
-    if _TRIE is None:
-        aliases = _get_aliases()
-        patterns = sorted(aliases.items())  # deterministic pattern ids (W2)
-        _TRIE_PATTERNS = [(surf, ent, cat) for surf, (ent, cat) in patterns]
-        _TRIE = AhoCorasick({surf: i for i, (surf, _e, _c) in enumerate(_TRIE_PATTERNS)})
-    return _TRIE, _TRIE_PATTERNS
+def _get_scanner():
+    """Vectorized n-gram scanner over every alias surface, built once per
+    executor (pattern ids deterministic via sorted surfaces, W2)."""
+    global _SCANNER, _SCAN_COLS
+    if _SCANNER is None:
+        import pyarrow as pa
+
+        from ..functions.mentionscan import TokenGramScanner
+
+        patterns = sorted(_get_aliases().items())
+        _SCAN_COLS = (
+            pa.array([surf for surf, _ in patterns], type=pa.string()),
+            pa.array([ec[0] for _, ec in patterns], type=pa.string()),
+            pa.array([ec[1] for _, ec in patterns], type=pa.string()),
+        )
+        _SCANNER = TokenGramScanner([surf for surf, _ in patterns])
+    return _SCANNER, _SCAN_COLS
 
 
 def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """One automaton pass per page: all alias occurrences, longest-leftmost.
+    """One vectorized scan per batch: all alias occurrences, longest-leftmost.
 
     This is the inverted delexicalisation scan (P6): the reference loops
-    every alias over every example; we make one linear pass per text for
-    the whole dictionary.
+    every alias over every example (webnlg_baseline_input.py:68-97); we
+    match the whole dictionary against all batch texts with Arrow C
+    kernels + numpy n-gram passes (functions/mentionscan.py) — zero
+    per-token Python, and `mapInArrow` keeps batches in Arrow end to end
+    (no pandas materialization of page texts). Semantics are pinned to
+    AhoCorasick.find_longest by fuzz tests.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        trie, patterns = _get_trie()
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = text.split(" ") if text else []
-                for start, end, pid in trie.find_longest(toks):
-                    surf, ent, cat = patterns[pid]
-                    rows.append((int(doc_id), surf, ent, cat, start, end))
-            yield pd.DataFrame(rows, columns=[f.name for f in MENTIONS_SCHEMA.fields])
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return pages.select("doc_id", text_col).mapInPandas(run, MENTIONS_SCHEMA)
+        scanner, (surf_a, ent_a, cat_a) = _get_scanner()
+        for batch in batches:
+            rows, starts, ends, pids = scanner.scan_arrow(
+                batch.column(batch.schema.get_field_index(text_col))
+            )
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+            pids_pa = pa.array(pids, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(doc_ids.take(pa.array(rows, type=pa.int64())), pa.int64()),
+                    surf_a.take(pids_pa),
+                    ent_a.take(pids_pa),
+                    cat_a.take(pids_pa),
+                    pa.array(starts.astype(np.int32), type=pa.int32()),
+                    pa.array(ends.astype(np.int32), type=pa.int32()),
+                ],
+                names=[f.name for f in MENTIONS_SCHEMA.fields],
+            )
+
+    return pages.select("doc_id", text_col).mapInArrow(run, MENTIONS_SCHEMA)
