@@ -30,6 +30,7 @@ def global_row_numbers(
     rn_col: str = "rn",
     num_partitions: int | None = None,
     small_threshold: int = 100_000,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """df + `rn_col` = 1-based global rank under `order_cols` (must be a
     total order).
@@ -47,9 +48,12 @@ def global_row_numbers(
     per job), so without the cache the sizes job and the output job
     could place a row in different buckets and the offsets would
     misalign — duplicate/skipped ranks. The persist pins one set of
-    boundaries; it is deliberately NOT unpersisted (the caller's action
-    happens after we return), so the cache lives until session end —
-    acceptable for rank-table-sized data, documented here.
+    boundaries; it cannot be unpersisted before we return (the caller's
+    action happens after), so by default the cache lives until session
+    end — acceptable for rank-table-sized data. Many-vocabulary jobs
+    should pass `cleanup`: the persisted handle is appended to it, and
+    the caller unpersists after materializing the result
+    (`for h in cleanup: h.unpersist()`).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -57,6 +61,8 @@ def global_row_numbers(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cleanup is not None:
+        cleanup.append(ranged)
     sizes = {
         r._pid: r.n
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()

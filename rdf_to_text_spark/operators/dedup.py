@@ -114,6 +114,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 128,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) candidate near-duplicate pairs.
 
@@ -135,9 +136,16 @@ def minhash_lsh_candidates(
         which the near-dup collides with the keeper normally;
       * signatures are persisted: they feed the banding pass AND the
         two re-attach joins, and recomputing the UDF 3× would dominate.
+        The persist cannot be dropped before we return (the caller's
+        action runs later), so by default it lives until session end;
+        repeated catalog/bench invocations should pass `cleanup` — the
+        persisted handle is appended to it for the caller to unpersist
+        after materializing the result.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k).persist()
+    if cleanup is not None:
+        cleanup.append(sigs)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -264,14 +272,18 @@ def minhash_lsh_candidates_md5(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 128,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Portable-hash twin of :func:`minhash_lsh_candidates` — same
     bucketed shape (ids-only self-join, bucket cap, signatures
     re-attached after pair dedup), but every hash is SQL-replayable:
     band buckets are md5 over the band's comma-joined signature slice
-    prefixed with the band index."""
+    prefixed with the band index. Persist/`cleanup` contract as in
+    :func:`minhash_lsh_candidates`."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_md5(docs, text_col, id_col, num_perm, shingle_k).persist()
+    if cleanup is not None:
+        cleanup.append(sigs)
     banded = sigs.select(
         id_col,
         F.posexplode(

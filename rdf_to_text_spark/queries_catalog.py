@@ -239,7 +239,12 @@ def kg_entry_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {fixtures.gold_cte()},
 e AS (
   SELECT doc_id,
-         row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) - 1 AS eidx,
+         -- (subj,pred,obj) tiebreak mirrors the engine (graph.py w_e):
+         -- without it a fixture emitting two triples in one sent_idx
+         -- would make eidx nondeterministic (ADVICE r2). Gold names are
+         -- underscore-fused (no spaces), so plain columns == fuse().
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sent_idx, subj, pred, obj) - 1 AS eidx,
          subj AS u, pred AS rel, obj AS v
   FROM gold
 ),
@@ -622,9 +627,12 @@ toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS gram
-  FROM toks CROSS JOIN generate_series(1, 1000) g(i)
-  WHERE g.i <= greatest(len(t) - 2, 1)
+  -- positions via generate_subscripts: per-row 1..len(t), so a long
+  -- doc can never silently truncate the shingle set (ADVICE r2; the
+  -- old generate_series(1,1000) cap is gone)
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+  WHERE i <= greatest(len(t) - 2, 1)
 ),
 pairs AS (
   SELECT d.doc_id AS doc_a, (d.doc_id + 1) % cnt.n AS doc_b
@@ -686,9 +694,9 @@ def _minhash_ab_values() -> str:
   FROM documents WHERE trim(text) <> ''
 ),
 sh AS (  -- trigram shingles, multiset (min over dups == min over set)
-  SELECT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS s
-  FROM toks CROSS JOIN generate_series(1, 1000) g(i)
-  WHERE g.i <= greatest(len(t) - 2, 1)
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+  WHERE i <= greatest(len(t) - 2, 1)
 ),
 x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x FROM sh),
 ab(k, a, b) AS (VALUES {_minhash_ab_values()}),
@@ -967,9 +975,17 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("ann_cosine_ivf_probe")  # rows-only: approximate by design
 def ann_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means cells + multi-probe); recall measured in bench."""
+    """IVF ANN (k-means cells + multi-probe); recall measured in bench.
+
+    n_probe=7 of 16 cells: the fixture's random 64-dim vectors are
+    IVF's documented worst case (no cluster structure, so cosine
+    neighbors scatter across cells); measured recall@5 by n_probe at
+    sf0.1: 5→0.74, 6→0.78, 7→0.86, 8→0.90. Candidate volume is
+    n_probe/n_cells ≈ 44% of the corpus per query here — on real
+    (clustered) embeddings the same 0.85+ recall costs far fewer
+    probes, which is the regime the operator targets."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=5)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=7)
 
 
 @_register("ann_cosine_lsh")  # rows-only: approximate by design
@@ -1160,7 +1176,12 @@ refs AS (
 hlen AS (SELECT id, len(toks) AS hl FROM hyps),
 rlen AS (SELECT id, rkey, len(toks) AS rl FROM refs),
 closest AS (
-  SELECT h.id, h.hl, min_by(r.rl, abs(r.rl - h.hl) * 1000 + r.rl) AS cl
+  -- scalar min_by key (DuckDB min_by rejects struct keys): the
+  -- multiplier is derived from the data so rl can never overflow the
+  -- tiebreak term (ADVICE r2; Spark side orders by (abs diff, rl))
+  SELECT h.id, h.hl,
+         min_by(r.rl, abs(r.rl - h.hl)
+                      * (SELECT max(rl) + 1 FROM rlen) + r.rl) AS cl
   FROM hlen h JOIN rlen r ON r.id = h.id GROUP BY h.id, h.hl
 ),
 lens AS (
@@ -1168,19 +1189,17 @@ lens AS (
   FROM closest
 ),
 hg AS (
-  SELECT h.id, s.nn, array_to_string(h.toks[g.i : g.i + s.nn - 1], ' ') AS gram
-  FROM hyps h
+  SELECT p.id, s.nn, array_to_string(p.toks[p.i : p.i + s.nn - 1], ' ') AS gram
+  FROM (SELECT id, toks, generate_subscripts(toks, 1) AS i FROM hyps) p
   CROSS JOIN generate_series(1, 4) s(nn)
-  CROSS JOIN generate_series(1, 1000) g(i)
-  WHERE g.i <= len(h.toks) - s.nn + 1
+  WHERE p.i <= len(p.toks) - s.nn + 1
 ),
 hcnt AS (SELECT id, nn, gram, count(*) AS hc FROM hg GROUP BY 1, 2, 3),
 rg AS (
-  SELECT r.id, r.rkey, s.nn, array_to_string(r.toks[g.i : g.i + s.nn - 1], ' ') AS gram
-  FROM refs r
+  SELECT p.id, p.rkey, s.nn, array_to_string(p.toks[p.i : p.i + s.nn - 1], ' ') AS gram
+  FROM (SELECT id, rkey, toks, generate_subscripts(toks, 1) AS i FROM refs) p
   CROSS JOIN generate_series(1, 4) s(nn)
-  CROSS JOIN generate_series(1, 1000) g(i)
-  WHERE g.i <= len(r.toks) - s.nn + 1
+  WHERE p.i <= len(p.toks) - s.nn + 1
 ),
 rmax AS (
   SELECT id, nn, gram, max(rc) AS rm

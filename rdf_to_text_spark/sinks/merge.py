@@ -142,6 +142,18 @@ def run_resumable(
 ) -> list[dict]:
     """Chunked, resumable extraction job: doc_id-range chunks → extract →
     commit (triples + lineage). Already-committed chunks are skipped.
+
+    CONTRACT for a custom `extract` (ADVICE r2): it must be a pure plan
+    transformation — no intermediate actions (count/isEmpty/cache-warm
+    collect) on its input. The per-chunk `n_pages` Observation below is
+    consumed by the FIRST action that executes the observed plan; an
+    early action inside `extract` would freeze `n_pages` from that
+    partial job instead of the chunk write, silently corrupting lineage
+    rows. Trade-off, also deliberate: the observe node sits above the
+    page scan, which blocks pushing a lang/category filter INSIDE
+    `extract` down into the scan (observe is a pushdown barrier) — put
+    input filters on `pages` before calling run_resumable so n_pages
+    counts exactly what the chunk processed.
     """
     from ..pipeline import extract_pipeline
 
