@@ -193,6 +193,163 @@ def corpus_bleu(
     )
 
 
+# ================================================================= TER
+def _token_edit_distance(a: list, b: list) -> int:
+    """Token-level Levenshtein with a vectorized DP row.
+
+    Per hypothesis token one numpy pass over the row; the horizontal
+    (insertion) dependency is resolved with the prefix-min identity
+    D[i][j] = j + min_{k<=j}(T[k] - k) where T[k] = min(D[i-1][k]+1,
+    D[i-1][k-1]+sub) — so there is no per-CELL Python, only a per-row
+    `np.minimum.accumulate`.
+    """
+    import numpy as np
+
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bn = np.asarray(b, dtype=object)
+    m = len(b)
+    js = np.arange(m + 1)
+    prev = js.copy()
+    for i, tok in enumerate(a, 1):
+        sub = prev[:-1] + (bn != tok)
+        t = np.minimum(prev[1:] + 1, sub)
+        t0 = np.concatenate(([i], t))
+        prev = np.minimum.accumulate(t0 - js) + js
+    return int(prev[-1])
+
+
+def ter_stats(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """Per-sentence TER-style integer stats: (id, edits, hyp_len, ref_len).
+
+    Completes the reference's 3-metric eval gate (BLEU/METEOR/TER —
+    `webnlg_eval_scripts/metrics.py:4-56` preps hyp/ref files and pads
+    references to 8 per sentence :50-55 before shelling out to
+    `tercom.7.25.jar`). Simplification, stated plainly: tercom's block
+    SHIFT operation is not modeled — `edits` is the token-level
+    Levenshtein (ins/del/sub, unit costs) against the closest-length
+    reference, an upper bound on tercom's edit count. The closest-ref
+    rule matches bleu_stats (min |rl-hl|, ties → shorter) with the ref
+    token string as the final deterministic tiebreak (W2): unlike BLEU
+    — which only uses the chosen ref's LENGTH — TER depends on its
+    content, so the order must be total.
+
+    Scale shape: tokenize + closest-ref selection are engine-side
+    (window over (id)); only the chosen (hyp, ref) pairs enter one
+    Arrow-batched mapInPandas whose DP kernel is numpy-row-vectorized —
+    per-sentence parallelism across executors, no per-cell Python. Eval
+    sets are orders of magnitude smaller than the corpus, so the pair
+    stage is never the job bottleneck.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    r = refs.select(F.col(id_col).alias("id"), _toks(ref_col).alias("rtoks"))
+    h = (
+        hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
+        .join(r.select("id").distinct(), "id", "left_semi")
+    )
+    joined = h.join(r, "id").select(
+        "id",
+        "htoks",
+        "rtoks",
+        F.size("htoks").alias("hl"),
+        F.size("rtoks").alias("rl"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.abs(F.col("rl") - F.col("hl")),
+        F.col("rl"),
+        F.concat_ws(" ", F.col("rtoks")),
+    )
+    chosen = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "htoks", "rtoks")
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("edits", IntegerType()),
+            StructField("hyp_len", IntegerType()),
+            StructField("ref_len", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    int(i),
+                    _token_edit_distance(list(hh), list(rr)),
+                    len(hh),
+                    len(rr),
+                )
+                for i, hh, rr in zip(pdf["id"], pdf["htoks"], pdf["rtoks"])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "edits", "hyp_len", "ref_len"])
+
+    return chosen.mapInPandas(run, schema)
+
+
+def corpus_ter(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """One-row (ter, edits, ref_len): corpus TER = sum(edits)/sum(ref_len)."""
+    per = ter_stats(hyps, refs, id_col, hyp_col, ref_col)
+    return per.agg(
+        (F.sum("edits") / F.sum("ref_len")).alias("ter"),
+        F.sum("edits").cast("long").alias("edits"),
+        F.sum("ref_len").cast("long").alias("ref_len"),
+    )
+
+
+def ter_py(hyps: list[str], refs: list[list[str]]) -> dict:
+    """Pure-python twin of ter_stats/corpus_ter (the unit-test spec)."""
+    total_edits = total_ref = 0
+    for hyp, rlist in zip(hyps, refs):
+        htoks = hyp.split()
+        best = None
+        for rf in rlist:
+            rtoks = rf.split()
+            key = (abs(len(rtoks) - len(htoks)), len(rtoks), " ".join(rtoks))
+            if best is None or key < best[0]:
+                best = (key, rtoks)
+        rtoks = best[1]
+        # classic O(n*m) DP, no tricks — the spec the numpy row must match
+        n, m = len(htoks), len(rtoks)
+        dp = list(range(m + 1))
+        for i in range(1, n + 1):
+            prev_diag, dp[0] = dp[0], i
+            for j in range(1, m + 1):
+                cost = 0 if htoks[i - 1] == rtoks[j - 1] else 1
+                prev_diag, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev_diag + cost)
+        total_edits += dp[m]
+        total_ref += m
+    return {
+        "ter": total_edits / total_ref if total_ref else 0.0,
+        "edits": total_edits,
+        "ref_len": total_ref,
+    }
+
+
 # ------------------------------------------------------------ pure-python twin
 def corpus_bleu_py(
     hyps: list[str], refs: list[list[str]], max_n: int = 4

@@ -1256,6 +1256,81 @@ def eval_bleu_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "eval_ter_counts",
+    r"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+refs AS (  -- deletion ref: drop 1-based positions ≡ 1 (mod 7)
+  SELECT doc_id, list_filter(toks, (x, i) -> i % 7 != 1) AS r FROM docs
+  UNION ALL  -- insertion ref: duplicate 1-based positions ≡ 0 (mod 5)
+  SELECT doc_id,
+         flatten(list_transform(toks,
+                 (x, i) -> CASE WHEN i % 5 = 0 THEN [x, x] ELSE [x] END))
+  FROM docs
+),
+ranked AS (
+  SELECT d.doc_id, len(d.toks) AS hl, len(r.r) AS rl,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY abs(len(r.r) - len(d.toks)), len(r.r),
+                                     array_to_string(r.r, ' ')) AS rn
+  FROM docs d JOIN refs r ON r.doc_id = d.doc_id
+)
+SELECT doc_id AS id, CAST(abs(hl - rl) AS INT) AS edits,
+       CAST(hl AS INT) AS hyp_len, CAST(rl AS INT) AS ref_len
+FROM ranked WHERE rn = 1""",
+)
+def eval_ter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TER-style eval stats (operators/evalmetrics.py:ter_stats): the
+    third metric of the reference's eval gate (metrics.py:4-56 +
+    tercom.7.25.jar; shifts not modeled, documented in the operator).
+
+    Oracle soundness without SQL edit distance (DuckDB's levenshtein is
+    byte-level): the synthetic references are CONSTRUCTED so the true
+    token edit distance is provable — a deletion-only ref is a
+    subsequence of the hypothesis and an insertion-only ref contains it,
+    so in both cases distance = |len(hyp) - len(ref)| exactly (≥ by the
+    length bound, ≤ by the construction). The engine runs its real DP
+    (closest-ref window + numpy-row Levenshtein) with no knowledge of
+    the construction; matching the closed form per sentence validates
+    both the selection rule and the DP. Substitution semantics are
+    pinned separately by the pure-python twin tests
+    (tests/test_evalmetrics_ter.py)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+    hyps = base.select("id", F.concat_ws(" ", "toks").alias("hyp"))
+    # Spark higher-order-function lambdas index from 0; DuckDB from 1.
+    del_ref = base.select(
+        "id",
+        F.concat_ws(
+            " ", F.filter("toks", lambda x, i: (i % 7) != F.lit(0))
+        ).alias("ref"),
+    )
+    ins_ref = base.select(
+        "id",
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    "toks",
+                    lambda x, i: F.when(
+                        ((i + 1) % 5) == F.lit(0), F.array(x, x)
+                    ).otherwise(F.array(x)),
+                )
+            ),
+        ).alias("ref"),
+    )
+    out = evalmetrics.ter_stats(hyps, del_ref.unionByName(ins_ref))
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("edits").cast("int"),
+        F.col("hyp_len").cast("int"),
+        F.col("ref_len").cast("int"),
+    )
+
+
+@_register(
     "events_salted_collect",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
        string_agg(event_type, ',' ORDER BY event_type) AS event_types

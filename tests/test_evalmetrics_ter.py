@@ -1,0 +1,113 @@
+"""TER-style eval: numpy row DP vs pure-python spec, and the Spark path.
+
+The reference gates generations on BLEU/METEOR/TER
+(`webnlg_eval_scripts/metrics.py` + tercom.7.25.jar); ter_stats is the
+distributed analog (token Levenshtein, no shifts — documented). These
+tests pin the DP kernel to a classic O(n·m) reimplementation and the
+full Spark operator (closest-ref + DP) to ter_py on golden cases.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_to_text_spark.operators.evalmetrics import (
+    _token_edit_distance,
+    corpus_ter,
+    ter_py,
+    ter_stats,
+)
+
+
+def _dp_spec(a: list[str], b: list[str]) -> int:
+    n, m = len(a), len(b)
+    dp = list(range(m + 1))
+    for i in range(1, n + 1):
+        prev_diag, dp[0] = dp[0], i
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            prev_diag, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev_diag + cost)
+    return dp[m]
+
+
+@pytest.mark.parametrize(
+    "a,b,want",
+    [
+        ("kitten sat here", "kitten sat here", 0),
+        ("a b c", "a x c", 1),
+        ("a b c", "a c", 1),
+        ("a c", "a b c", 1),
+        ("", "a b", 2),
+        ("a b", "", 2),
+        ("a a a a", "a a", 2),
+        ("x y z", "p q r", 3),
+    ],
+)
+def test_token_edit_distance_directed(a, b, want):
+    assert _token_edit_distance(a.split(), b.split()) == want
+
+
+def test_token_edit_distance_fuzz():
+    rng = random.Random(11)
+    alpha = ["a", "b", "c", "d"]
+    for _ in range(200):
+        a = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        b = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        assert _token_edit_distance(a, b) == _dp_spec(a, b), (a, b)
+
+
+def test_ter_py_closest_ref_rule():
+    # refs: length-tie broken by shorter then string; content matters
+    hyps = ["a b c d"]
+    refs = [["a b c x", "a b c d e f", "z z z z"]]
+    # both 4-token refs tie on |rl-hl|=0 and rl=4 → string order picks
+    # "a b c x" (1 edit) over "z z z z" (4 edits)
+    out = ter_py(hyps, refs)
+    assert out["edits"] == 1 and out["ref_len"] == 4
+
+
+def test_ter_stats_spark_matches_twin(spark):
+    rng = random.Random(5)
+    alpha = ["w1", "w2", "w3", "w4", "w5"]
+    hyps, refs = [], []
+    for i in range(30):
+        hyps.append(" ".join(rng.choice(alpha) for _ in range(rng.randint(1, 10))))
+        refs.append(
+            [
+                " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+                for _ in range(rng.randint(1, 3))
+            ]
+        )
+    hdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hyps)], "id long, hyp string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, r) for i, rl in enumerate(refs) for r in rl], "id long, ref string"
+    )
+    got = corpus_ter(hdf, rdf).collect()[0]
+    want = ter_py(hyps, refs)
+    assert got["edits"] == want["edits"]
+    assert got["ref_len"] == want["ref_len"]
+    assert abs(got["ter"] - want["ter"]) < 1e-12
+
+
+def test_ter_stats_substitution_sentinel(spark):
+    # substitution-only ref with sentinels foreign to the hypothesis:
+    # true distance = number of substituted positions (each foreign
+    # token needs its own edit; n_subs edits suffice)
+    hyp = "t1 t2 t3 t4 t5 t6 t7 t8"
+    ref = "t1 ZQX1 t3 t4 ZQX2 t6 t7 ZQX3"
+    hdf = spark.createDataFrame([(0, hyp)], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, ref)], "id long, ref string")
+    row = ter_stats(hdf, rdf).collect()[0]
+    assert (row["edits"], row["hyp_len"], row["ref_len"]) == (3, 8, 8)
+
+
+def test_ter_stats_hyp_without_ref_dropped(spark):
+    hdf = spark.createDataFrame([(0, "a b"), (1, "c d")], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, "a b")], "id long, ref string")
+    rows = ter_stats(hdf, rdf).collect()
+    assert [(r["id"], r["edits"]) for r in rows] == [(0, 0)]
