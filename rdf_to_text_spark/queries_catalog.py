@@ -1160,6 +1160,72 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sessionize_stream",
+    """WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id""",
+)
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization driven through the SAME oracle
+    as the batch twin: `streaming/sessionize.py` runs the native
+    `session_window` operator over the sf events via an availableNow
+    file-source micro-batch run into a memory sink, then the finished
+    table is relabeled with the batch twin's cumulative session_id
+    (row_number over session_start — sessions are time-disjoint per
+    user, so rank-by-start IS the cumulative counter). This makes
+    stream≡batch a driver-checked fact, not only a pytest one.
+
+    Fixture precondition (asserted in tests/test_streaming_sessionize):
+    no two consecutive events exactly 30 minutes apart — the one case
+    where session_window (strict merge) and the batch gap rule (strict
+    split) diverge; verified 0 such pairs at sf0.001/0.01/0.1.
+
+    Scale shape: session_window + watermark is exactly the 100-TB
+    firehose formulation — state bounded by the watermark, no global
+    sort; complete-mode memory sink is test-harness-only plumbing."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.sessionize import stream_sessionize
+
+    # FileStreamSource wants a DIRECTORY; the sf fixture is one file —
+    # symlink it into a scratch dir (testdata itself is never written).
+    src = tempfile.mkdtemp(prefix="sess_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    name = f"sessions_drv_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sess_stream_ckpt_")
+    q = stream_sessionize(spark, src, ckpt, query_name=name)
+    q.awaitTermination()
+    tbl = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return tbl.select(
+        F.col("user_id").cast("long"),
+        F.row_number().over(w).cast("int").alias("session_id"),
+        F.col("n_events").cast("long"),
+        "session_start",
+        "session_end",
+    )
+
+
+@_register(
     "eval_bleu_counts",
     """WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -101,6 +101,23 @@ def test_session_window_stream_equals_batch(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_catalog_stream_sessionize_equals_batch(spark):
+    """The driver-facing streaming entry (events_sessionize_stream)
+    reproduces the batch twin EXACTLY, session_id included — the
+    row_number-over-session_start relabel is the cumulative counter
+    because sessions are time-disjoint per user."""
+    from rdf_to_text_spark.queries_catalog import (
+        events_sessionize,
+        events_sessionize_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in events_sessionize_stream(spark, sf).collect()}
+    want = {tuple(r) for r in events_sessionize(spark, sf).collect()}
+    assert got == want
+    assert len(got) > 100
+
+
 def test_session_window_watermark_drops_late_events(spark):
     """With a realistic watermark, events arriving out of time order
     beyond the bound are dropped — the state-bounding contract."""
