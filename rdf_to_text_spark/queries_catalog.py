@@ -1615,6 +1615,124 @@ def tpch_q17_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tpch_q18_big_orders",
+    """WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+)
+SELECT c.c_name AS c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer), the skew-relevant shape: the
+    IN-subquery over lineitem becomes ONE per-order aggregate (map-side
+    partial combine soaks up hot orderkeys before the shuffle) whose
+    HAVING survivors are a tiny table — explicitly broadcast into the
+    orders probe, so the fact table is never re-shuffled for the
+    filter. No second lineitem pass: the canonical re-join + re-group
+    is decorrelated away since sum_qty is already in hand. customer is
+    a broadcast dim. Sort key (totalprice DESC, orderdate, orderkey)
+    is total — the LIMIT boundary is deterministic on both engines."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            "o_orderdate",
+            F.col("o_totalprice").cast("double"),
+            F.col("sum_qty").cast("double"),
+        )
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) GROUP BY 1, 2, 3""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-sided nation predicate. Both
+    nation lookups are broadcast; supplier is also broadcast AND
+    pre-filtered to the two nations, so the only shuffle joins are
+    lineitem⋈orders⋈customer on their natural keys. The disjunctive
+    cross-nation predicate is applied AFTER both sides carry their
+    nation name — at 100 TB this is the query whose naive plan shuffles
+    lineitem twice; this plan shuffles it once."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    nations = ["NATION_1", "NATION_2"]
+    n1 = rd("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nations))
+    n2 = rd("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nations))
+    s = rd("supplier").join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    c = rd("customer").join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    li = rd("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    o = rd("orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("int"),
+            "revenue",
+            "n_lineitems",
+        )
+    )
+
+
+@_register(
     "orders_running_total",
     """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -45,5 +45,12 @@ def test_catalog_python_stages_are_arrow_batched(built_plans):
 def test_known_broadcast_joins_still_broadcast(built_plans):
     """Dimension-sized join sides must stay broadcast (plan regression
     guard for the explicitly-hinted queries)."""
-    for name in ("top_orders_per_segment", "kg_oov_tokens", "tpch_q3", "tpch_q5"):
+    for name in (
+        "top_orders_per_segment",
+        "kg_oov_tokens",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q18_big_orders",
+        "tpch_q7_volume_shipping",
+    ):
         assert "BroadcastHashJoin" in formatted_plan(built_plans[name]), name
