@@ -108,6 +108,73 @@ def relexicalise_py(pred: str, rplc_dict: dict[str, str]) -> str:
     return out
 
 
+def ent_unmask_py(line: str, pairs: list[tuple[str, str]]) -> str:
+    """P8 typed-mask relexicalisation — literal semantics of the
+    reference's `data/translate_result/ent_unmask.py:44-56`:
+
+      * dict(mask → surface) built in PAIR ORDER (:46-50; a later pair
+        with the same mask OVERWRITES the surface, and first-insertion
+        order — not sorted order — drives the replacement sequence);
+      * `line.replace(k.lower(), v.lower())` per entry (:52-53) — plain
+        substring replace, no space guard (unlike `relexicalise_py`);
+      * re-tokenize `' '.join(re.split('(\\W)', line))` then the exact
+        space-collapse chain `'    '→' '`, `'   '→' '`, `'  '→' '`,
+        `.strip()`, final `.lower()` (:54-55).
+    """
+    dct: dict[str, str] = {}
+    for mask, surface in pairs:
+        dct[mask] = surface
+    for k, v in dct.items():
+        line = line.replace(k.lower(), v.lower())
+    line = (
+        " ".join(re.split(r"(\W)", line))
+        .replace("    ", " ")
+        .replace("   ", " ")
+        .replace("  ", " ")
+        .strip()
+    )
+    return line.lower()
+
+
+def ent_unmask_pkl_py(line: str, ex: list[list[tuple[str, str]]]) -> str:
+    """`ent_unmask.py` dict construction from the pkl shape: `ex` is a
+    list of triples, each triple three (surface, mask) pairs
+    (`dct[tri[j][1]] = tri[j][0]`, j = 0,1,2 — ent_unmask.py:47-50)."""
+    pairs = [(tri[j][1], tri[j][0]) for tri in ex for j in range(3)]
+    return ent_unmask_py(line, pairs)
+
+
+def ent_unmask(
+    preds: DataFrame, pred_col: str = "pred_text", pairs_col: str = "pairs"
+) -> DataFrame:
+    """preds(..., pred_text, pairs: array<struct<mask,surface>>) →
+    + relex_text, Arrow-batched (`ent_unmask_py` per row; the sequential
+    replace chain is inherent to the reference semantics, batches
+    amortize the Python entry)."""
+    out_schema = StructType(
+        list(preds.schema.fields) + [StructField("relex_text", StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["relex_text"] = [
+                ent_unmask_py(
+                    line,
+                    [
+                        (p["mask"], p["surface"])
+                        if isinstance(p, dict)
+                        else (p[0], p[1])
+                        for p in (pairs if pairs is not None else [])
+                    ],
+                )
+                for line, pairs in zip(pdf[pred_col], pdf[pairs_col])
+            ]
+            yield pdf
+
+    return preds.mapInPandas(run, out_schema)
+
+
 DELEX_SCHEMA = StructType(
     [
         StructField("delex_src", StringType()),

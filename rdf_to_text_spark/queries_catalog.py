@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures
-from .operators import dedup, evalmetrics, graph, similarity, text_analysis, vocab
+from .operators import delex, dedup, evalmetrics, graph, similarity, text_analysis, vocab
 from .operators.canonicalize import connected_components, first_token_clusters
 from .pipeline import extract_pipeline
 
@@ -1157,6 +1157,85 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
     )
+
+
+@_register(
+    "kg_ent_unmask",
+    r"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 5),
+built AS (
+  SELECT doc_id,
+    'entities_1_cat' || (doc_id % 5)::VARCHAR AS mask_s,
+    'predmask_' || (doc_id % 7)::VARCHAR AS mask_p,
+    'entities_2_cat' || (doc_id % 5)::VARCHAR AS mask_o,
+    toks[1] || '-' || toks[2] AS surf_s,
+    toks[3] AS surf_p,
+    toks[4] || ' (' || toks[5] || ')' AS surf_o
+  FROM f
+),
+sub AS (  -- insertion-order replace chain: subj, then pred, then obj
+  SELECT doc_id,
+    replace(replace(replace(
+      'sure , the ' || mask_s || ' ' || mask_p || ' ' || mask_o || ' today.',
+      mask_s, lower(surf_s)), mask_p, lower(surf_p)), mask_o, lower(surf_o)) AS l
+  FROM built
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+  lower(trim(replace(replace(replace(
+    regexp_replace(l, '(\W)', ' \1 ', 'g'),
+    '    ', ' '), '   ', ' '), '  ', ' '))) AS relex_text
+FROM sub""",
+)
+def kg_ent_unmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 typed-mask relexicalisation driven through the oracle
+    (operators/delex.py:ent_unmask — `data/translate_result/
+    ent_unmask.py:44-56` semantics). A synthetic `*_gtrlstm.pkl`-shaped
+    mask table is rendered deterministically from `documents` on BOTH
+    sides: typed masks (entities_1_cat<k>/predmask_<k>/entities_2_cat<k>)
+    inside a model-style prediction line, surfaces drawn from the doc's
+    own tokens with a hyphen and parens injected so the `\W` retokenize
+    + space-collapse chain is actually exercised. The oracle replays the
+    replace chain with nested replace() (insertion order: subj, pred,
+    obj) and the retokenize as `regexp_replace('(\W)', ' \1 ')` — a
+    provable equivalent of `' '.join(re.split('(\W)', l))` (each
+    non-word char contributes the same one-space padding; adjacent
+    non-word chars and string edges produce identical runs, which the
+    identical collapse chain then reduces). Fixture is all-ASCII, so
+    RE2's ASCII `\W` and Python's Unicode `\W` agree (asserted by the
+    docs filter shape; full Unicode semantics live in the operator).
+
+    Scale shape: mask table construction is pure engine-side concat;
+    the replace chain is the Arrow-batched operator — per-doc work,
+    narrow plan, no shuffle."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    k5 = (F.col("id") % 5).cast("string")
+    k7 = (F.col("id") % 7).cast("string")
+    mask_s = F.concat(F.lit("entities_1_cat"), k5)
+    mask_p = F.concat(F.lit("predmask_"), k7)
+    mask_o = F.concat(F.lit("entities_2_cat"), k5)
+    t = lambda i: F.element_at("toks", i)  # noqa: E731
+    surf_s = F.concat(t(1), F.lit("-"), t(2))
+    surf_o = F.concat(t(4), F.lit(" ("), t(5), F.lit(")"))
+    built = base.select(
+        "id",
+        F.concat(
+            F.lit("sure , the "), mask_s, F.lit(" "), mask_p, F.lit(" "),
+            mask_o, F.lit(" today."),
+        ).alias("pred_text"),
+        F.array(
+            F.struct(mask_s.alias("mask"), surf_s.alias("surface")),
+            F.struct(mask_p.alias("mask"), t(3).alias("surface")),
+            F.struct(mask_o.alias("mask"), surf_o.alias("surface")),
+        ).alias("pairs"),
+    )
+    return delex.ent_unmask(built).select(F.col("id").cast("long"), "relex_text")
 
 
 @_register(

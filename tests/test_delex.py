@@ -118,3 +118,114 @@ def test_spark_delexicalise_operator(spark):
     assert row.delex_src == exp_src
     assert row.delex_trg == exp_trg
     assert dict(row.rplc) == exp_rplc
+
+
+# ---------------------------------------------------------- P8 ent_unmask
+def _ref_unmask_replay(line: str, ex) -> str:
+    """Verbatim replay of data/translate_result/ent_unmask.py:44-56 —
+    the spec the operator must match byte-for-byte."""
+    import re as _re
+
+    dct = {}
+    for tri in ex:
+        dct[tri[0][1]] = tri[0][0]
+        dct[tri[1][1]] = tri[1][0]
+        dct[tri[2][1]] = tri[2][0]
+    for k, v in dct.items():
+        line = line.replace(k.lower(), v.lower())
+    line = (
+        " ".join(_re.split(r"(\W)", line))
+        .replace("    ", " ")
+        .replace("   ", " ")
+        .replace("  ", " ")
+        .strip()
+    )
+    return line.lower()
+
+
+def test_ent_unmask_matches_reference_replay():
+    from rdf_to_text_spark.operators.delex import ent_unmask_pkl_py
+
+    ex = [
+        [("Aarhus_Airport", "ENT_1_AIRPORT"), ("cityServed", "PRED_1"), ("Aarhus", "ENT_2_CITY")],
+        [("Denmark", "ENT_3_COUNTRY"), ("country", "PRED_2"), ("Aarhus_Airport", "ENT_1_AIRPORT")],
+    ]
+    line = "ent_1_airport pred_1 ent_2_city , which pred_2 ent_3_country."
+    got = ent_unmask_pkl_py(line, ex)
+    assert got == _ref_unmask_replay(line, ex)
+    # dict overwrite: second triple re-binds ENT_1_AIRPORT (same surface
+    # here, but insertion order must not duplicate or reorder)
+    assert got == "aarhus_airport cityserved aarhus , which country denmark ."
+
+
+def test_ent_unmask_dict_overwrite_and_order():
+    """A later pair with the same mask overwrites the surface (dict
+    semantics), and replacement runs in FIRST-insertion order — a
+    surface that introduces a later mask's text gets re-replaced."""
+    from rdf_to_text_spark.operators.delex import ent_unmask_pkl_py
+
+    ex = [
+        [("first", "M_A"), ("contains m_b", "M_B"), ("last", "M_C")],
+        [("SECOND", "M_A"), ("p", "M_P"), ("o", "M_O")],
+    ]
+    line = "m_a and m_b ."
+    # M_A overwritten to SECOND; M_B's surface injects 'm_b'?? no —
+    # M_B replaced after M_A, and its surface contains the literal
+    # 'm_b' which was ALREADY consumed, so no re-replacement loop.
+    got = ent_unmask_pkl_py(line, ex)
+    assert got == _ref_unmask_replay(line, ex)
+    assert got.startswith("second and")
+
+
+def test_ent_unmask_round_trip_from_template_bank():
+    """The gtrlstm-shaped round trip: rendering a template with typed
+    masks then unmasking ≡ rendering with surfaces directly (both
+    pushed through the reference's retokenize+collapse+lower tail)."""
+    import re as _re
+
+    from rdf_to_text_spark.operators.delex import ent_unmask_pkl_py
+    from rdf_to_text_spark.templates import ENTITIES, TEMPLATES
+
+    def tail(s: str) -> str:
+        return (
+            " ".join(_re.split(r"(\W)", s))
+            .replace("    ", " ")
+            .replace("   ", " ")
+            .replace("  ", " ")
+            .strip()
+            .lower()
+        )
+
+    n_checked = 0
+    for t, (pred, cat, _opool, pattern) in enumerate(TEMPLATES):
+        subj = ENTITIES[cat][0].replace("_", " ")
+        obj = f"object {t} (alt)"
+        mask_s, mask_p, mask_o = f"ent_1_{cat.lower()}", "pred_1", f"ent_2_obj{t}"
+        # path A: surfaces substituted directly (fixture semantics)
+        direct = pattern.replace("ENTITIES_1 ", subj + " ").replace(
+            "ENTITIES_2 ", obj + " "
+        )
+        # path B: typed masks substituted, then ent_unmask
+        masked = pattern.replace("ENTITIES_1 ", mask_s + " ").replace(
+            "ENTITIES_2 ", mask_o + " "
+        )
+        ex = [[(subj, mask_s.upper()), (pred, mask_p.upper()), (obj, mask_o.upper())]]
+        assert ent_unmask_pkl_py(masked, ex) == tail(direct), (t, pattern)
+        n_checked += 1
+    assert n_checked == len(TEMPLATES) and n_checked >= 5
+
+
+def test_ent_unmask_spark_operator(spark):
+    from rdf_to_text_spark.operators.delex import ent_unmask, ent_unmask_py
+
+    rows = [
+        (0, "the ent_1_city is nice.", [("ent_1_city", "New York (NY)")]),
+        (1, "no masks here .", []),
+        (2, "m1 m2", [("m1", "a-b"), ("m2", "c,d")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, pred_text string, pairs array<struct<mask string, surface string>>"
+    )
+    got = {r.id: r.relex_text for r in ent_unmask(df).collect()}
+    for i, line, pairs in rows:
+        assert got[i] == ent_unmask_py(line, pairs), i
