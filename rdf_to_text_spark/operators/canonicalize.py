@@ -39,37 +39,88 @@ def first_token_clusters(surfaces: DataFrame, surface_col: str = "surface") -> D
     )
 
 
-def _star_round(e: DataFrame) -> DataFrame:
-    """One alternating large-star + small-star contraction round over a
-    canonical (src<dst, distinct) edge set; returns the canonical result."""
-    # ---- large-star: u -> all neighbors (both directions), attach
-    # strictly larger neighbors to the min of the neighborhood.
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. §3): for every node u, attach each
+    strictly-larger neighbor v to m(u) = min(N(u) ∪ {u}). Output is one
+    edge per directed (u, v>u) pair — AT MOST |e| edges before dedup,
+    and m(u) < v always, so the result is canonical with no
+    least/greatest pass. Components preserved (each emitted edge is a
+    2-path contraction of existing edges)."""
     nbrs = e.select("src", "dst").unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
     mins = mins.withColumn("m", F.least("m", "src"))
-    large = (
+    return (
         nbrs.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    # ---- small-star: attach ≤ neighbors (and self) to the min.
-    small_nbrs = e.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    )
-    smins = small_nbrs.groupBy("src").agg(F.min("dst").alias("m"))
-    small = (
-        small_nbrs.join(smins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(smins.select(F.col("src"), F.col("m").alias("dst")))
-    )
-    return (
-        large.unionByName(small)
+        .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
         .distinct()
     )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: for every node u, attach each ≤-neighbor (and u
+    itself) to the min of the ≤-neighborhood. ≤ |e| + #nodes edges."""
+    sn = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    smins = sn.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        sn.join(smins, "src")
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        .unionByName(smins.select(F.col("src").alias("a"), F.col("m").alias("b")))
+    )
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+    )
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """One alternating round over a canonical (src<dst, distinct) edge
+    set: large-star THEN small-star, COMPOSED — not unioned.
+
+    The round-1/2 formulation unioned the two operators' outputs, which
+    on chain-shaped graphs ACCUMULATES every intermediate-distance edge
+    (~2× edges per round: a 50k-node path grew 50k → 200k → 1M edges by
+    round 4 and OOMed at 500k nodes). Sequential application is the
+    actual Kiveris et al. alternating algorithm: each operator maps
+    each edge to exactly one output edge (plus ≤ n root edges), so the
+    working set stays Θ(m + n) for the whole run."""
+    return _small_star(_large_star(e))
+
+
+def _shortcut_edges(e: DataFrame, jumps: int = 3) -> DataFrame:
+    """Pointer-jumping shortcut pass over the canonical (src<dst) edge
+    set: for every non-root node x, par(x) = min smaller-neighbor; the
+    parent MAP (one row per non-root node — n rows, not m) is composed
+    with itself `jumps` times (reach 2^jumps along parent chains), then
+    the jumped edges (par^2ʲ(x), x) are ADDED to the edge set. Pure
+    edge addition — every par-chain hop is an existing edge, so
+    components are unchanged and every soundness property (fixed-point
+    probe, final mapping) is untouched. par^k(x) < ... < par(x) < x
+    keeps the output canonical with no re-least/greatest pass.
+
+    Why jumping beats one grandparent step: each composition squares
+    the reach for ONE n-row self-join (cheap next to a star round over
+    m edges), so a stalled chain segment collapses toward its local
+    minimum in O(log) probe visits. Parent chains stop at local minima
+    (a node smaller than all its neighbors that is not the component
+    min) — only the alternating star rounds merge ACROSS minima, which
+    is why this is an accelerator triggered on contraction stall, not a
+    replacement (see the probe trigger in connected_components)."""
+    par = e.groupBy("dst").agg(F.min("src").alias("par"))
+    p = par
+    for _ in range(max(0, jumps)):
+        hop = p.select(F.col("dst").alias("h_dst"), F.col("par").alias("h_par"))
+        p = p.join(hop, p.par == hop.h_dst, "left").select(
+            "dst", F.coalesce("h_par", "par").alias("par")
+        )
+    shortcut = p.select(F.col("par").alias("src"), "dst")
+    return e.unionByName(shortcut).distinct()
 
 
 def _is_min_rooted_star_forest(e: DataFrame) -> bool:
@@ -120,6 +171,8 @@ def connected_components(
     max_iter: int = 16,
     check_every: int = 2,
     local_finish_threshold: int = 100_000,
+    shortcut_ratio: float = 0.7,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
@@ -174,25 +227,49 @@ def connected_components(
     # each round scans `e` ~3× (both star directions + small-star), so the
     # canonical input is checkpointed before iterating
     e = e.localCheckpoint(eager=True)
-    if local_finish_threshold and e.count() <= local_finish_threshold:
+    prev_cnt = e.count()
+    if stats is not None:
+        stats.update(rounds=0, counts=[prev_cnt], shortcuts=0, local_finish=False)
+    if local_finish_threshold and prev_cnt <= local_finish_threshold:
+        if stats is not None:
+            stats["local_finish"] = True
         return _finish_locally(e)
     converged = False
     e_checkpointed = True
     for i in range(max_iter):
         new_e = _star_round(e)
         e_checkpointed = False
+        if stats is not None:
+            stats["rounds"] = i + 1
         # Checkpoint + convergence-probe only every `check_every` rounds:
         # an eager localCheckpoint per round (full edge-set write+read)
         # measured 6x slower end-to-end on chain-heavy graphs (BENCH.md).
         if (i + 1) % check_every == 0:
             new_e = new_e.localCheckpoint(eager=True)  # cut lineage growth
             e_checkpointed = True
-            if local_finish_threshold and new_e.count() <= local_finish_threshold:
+            cnt = new_e.count()
+            if stats is not None:
+                stats["counts"].append(cnt)
+            if local_finish_threshold and cnt <= local_finish_threshold:
+                if stats is not None:
+                    stats["local_finish"] = True
                 return _finish_locally(new_e)
             if _is_min_rooted_star_forest(new_e):
                 e = new_e
                 converged = True
                 break
+            if shortcut_ratio and cnt > shortcut_ratio * prev_cnt:
+                # Contraction stalled — the chain-dominated regime where
+                # star rounds propagate the min one hop at a time. One
+                # pointer-doubling pass (edge ADDITION, components
+                # unchanged) doubles the propagation rate; see
+                # :func:`_shortcut_edges`.
+                new_e = _shortcut_edges(new_e).localCheckpoint(eager=True)
+                cnt = new_e.count()
+                if stats is not None:
+                    stats["shortcuts"] += 1
+                    stats["counts"].append(cnt)
+            prev_cnt = cnt
         e = new_e
     if not converged:
         # The loop may have hit the fixed point on an unprobed round.

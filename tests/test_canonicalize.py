@@ -186,3 +186,45 @@ def test_alias_clusters_paren_leading_surfaces(spark):
     got = {r.surface: r.rep for r in alias_clusters(surfaces).collect()}
     assert got["(500) Days of Summer"] != got["(What's the Story) Morning Glory?"]
     assert got["(500) Days of Summer"] == "(500) Days of Summer"
+
+
+def test_cc_chain_edge_count_stays_bounded(spark):
+    """Chain-shaped graphs: the round-1/2 star round UNIONED large- and
+    small-star outputs, accumulating every intermediate-distance edge
+    (~2x per round; a 500k-node path OOMed). The composed (Kiveris)
+    round must keep the working set Theta(m + n): on a path graph the
+    probed edge count may never exceed a small multiple of n (star
+    output ~n plus one n-sized shortcut layer per stall probe)."""
+    from rdf_to_text_spark.operators.canonicalize import connected_components
+
+    n = 3000
+    e = spark.range(n).selectExpr("id AS src", "id + 1 AS dst")
+    st = {}
+    out = connected_components(
+        e, max_iter=30, local_finish_threshold=0, stats=st
+    ).collect()
+    assert len(out) == n + 1
+    assert {r.component for r in out} == {0}
+    assert max(st["counts"]) <= 5 * n, st
+    assert st["rounds"] <= 16, st
+
+
+def test_cc_shortcut_edges_preserve_components(spark):
+    """_shortcut_edges is pure edge ADDITION along parent chains:
+    components and their min labels are invariant, output canonical."""
+    import random
+
+    from rdf_to_text_spark.operators.canonicalize import (
+        _local_union_find,
+        _shortcut_edges,
+    )
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+    e = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    cut = _shortcut_edges(e, jumps=3).collect()
+    assert all(r.src < r.dst for r in cut)
+    base = dict(_local_union_find(pairs))
+    aug = dict(_local_union_find([(r.src, r.dst) for r in cut]))
+    assert base == aug
