@@ -350,6 +350,165 @@ def ter_py(hyps: list[str], refs: list[list[str]]) -> dict:
     }
 
 
+# ============================================================== METEOR analog
+def _meteor_align_py(htoks: list, rtoks: list) -> tuple[int, int]:
+    """(m, chunks) under RANK-PAIRED exact matching: the k-th occurrence
+    of a token in the hypothesis matches the k-th occurrence in the
+    reference, so m = Σ_t min(cnt_hyp(t), cnt_ref(t)) — a true maximum
+    exact matching. chunks = matched pairs (i, j) whose predecessor
+    (i-1, j-1) is NOT matched (runs consecutive in BOTH strings).
+
+    Simplification vs the METEOR tool, stated plainly: METEOR's
+    chunk-MINIMIZING beam search over alternative maximum matchings is
+    not modeled (rank pairing is one deterministic maximum matching, so
+    our chunk count is an upper bound), and the Porter-stem / WordNet
+    synonym modules are out of scope (exact-match module only — the
+    stemmer/synonym data ships with the tool, not this container).
+    m, P, R and the score formula are the paper's.
+    """
+    rpos: dict = {}
+    for j, t in enumerate(rtoks):
+        rpos.setdefault(t, []).append(j)
+    seen: dict = {}
+    pairs = []
+    for i, t in enumerate(htoks):
+        k = seen.get(t, 0)
+        positions = rpos.get(t)
+        if positions is not None and k < len(positions):
+            pairs.append((i, positions[k]))
+            seen[t] = k + 1
+    pairset = set(pairs)
+    chunks = sum(1 for (i, j) in pairs if (i - 1, j - 1) not in pairset)
+    return len(pairs), chunks
+
+
+def _meteor_score_frac(m: int, chunks: int, hl: int, rl: int):
+    """Exact rational METEOR score: Fmean·(1−penalty) with
+    Fmean = 10PR/(R+9P) = 10m/(hl+9rl) and penalty = ½(chunks/m)³
+    ⇒ score = 10m(2m³−c³) / (2m³(hl+9rl)). Fractions keep best-ref
+    selection deterministic across platforms — no float boundary."""
+    from fractions import Fraction
+
+    if m == 0 or hl == 0 or rl == 0:
+        return Fraction(0)
+    return Fraction(10 * m * (2 * m**3 - chunks**3), 2 * m**3 * (hl + 9 * rl))
+
+
+def meteor_stats(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """Per-sentence METEOR-analog integer stats against the BEST
+    reference: (id, m, chunks, hyp_len, ref_len).
+
+    Completes the reference's 3-metric eval gate (BLEU/METEOR/TER,
+    `webnlg_eval_scripts/metrics.py:4-56`; METEOR via meteor-1.5.jar)
+    alongside :func:`bleu_stats` and :func:`ter_stats`. Matching model
+    documented in :func:`_meteor_align_py`. Best-ref = max exact
+    rational score (ties → shorter ref, then ref string — W2 total
+    order).
+
+    Scale shape: tokenize is engine-side; one applyInPandas over
+    (id)-groups runs the O(len) counting kernel per (hyp, ref) pair and
+    the exact-Fraction argmax per hypothesis. Eval sets are orders of
+    magnitude smaller than the corpus — never the job bottleneck.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    r = refs.select(F.col(id_col).alias("id"), _toks(ref_col).alias("rtoks"))
+    h = (
+        hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
+        .join(r.select("id").distinct(), "id", "left_semi")
+    )
+    joined = h.join(r, "id").select("id", "htoks", "rtoks")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("m", IntegerType()),
+            StructField("chunks", IntegerType()),
+            StructField("hyp_len", IntegerType()),
+            StructField("ref_len", IntegerType()),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        htoks = list(pdf["htoks"].iloc[0])
+        hl = len(htoks)
+        best = None
+        for rt in pdf["rtoks"]:
+            rtoks = list(rt)
+            m, c = _meteor_align_py(htoks, rtoks)
+            score = _meteor_score_frac(m, c, hl, len(rtoks))
+            key = (-score, len(rtoks), " ".join(rtoks))
+            if best is None or key < best[0]:
+                best = (key, (m, c, hl, len(rtoks)))
+        m, c, hl, rl = best[1]
+        return pd.DataFrame(
+            [(int(pdf["id"].iloc[0]), m, c, hl, rl)],
+            columns=["id", "m", "chunks", "hyp_len", "ref_len"],
+        )
+
+    return joined.groupBy("id").applyInPandas(pick, schema)
+
+
+def corpus_meteor(
+    hyps: DataFrame,
+    refs: DataFrame,
+    id_col: str = "id",
+    hyp_col: str = "hyp",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """One-row corpus METEOR analog from summed per-sentence stats
+    (the tool's system-level aggregation): P = M/HL, R = M/RL,
+    Fmean = 10PR/(R+9P), penalty = ½(C/M)³."""
+    per = meteor_stats(hyps, refs, id_col, hyp_col, ref_col)
+    agg = per.agg(
+        F.sum("m").cast("long").alias("m"),
+        F.sum("chunks").cast("long").alias("chunks"),
+        F.sum("hyp_len").cast("long").alias("hyp_len"),
+        F.sum("ref_len").cast("long").alias("ref_len"),
+    )
+    m, c = F.col("m"), F.col("chunks")
+    fmean = 10 * m / (F.col("hyp_len") + 9 * F.col("ref_len"))
+    pen = 0.5 * F.pow(c / m, F.lit(3))
+    return agg.select(
+        F.when(m > 0, (fmean * (1 - pen))).otherwise(F.lit(0.0)).alias("meteor"),
+        "m",
+        "chunks",
+        "hyp_len",
+        "ref_len",
+    )
+
+
+def meteor_py(hyps: list[str], refs: list[list[str]]) -> dict:
+    """Pure-python twin of meteor_stats/corpus_meteor (unit-test spec)."""
+    M = C = HL = RL = 0
+    for hyp, rlist in zip(hyps, refs):
+        htoks = hyp.split()
+        best = None
+        for rf in rlist:
+            rtoks = rf.split()
+            m, c = _meteor_align_py(htoks, rtoks)
+            score = _meteor_score_frac(m, c, len(htoks), len(rtoks))
+            key = (-score, len(rtoks), " ".join(rtoks))
+            if best is None or key < best[0]:
+                best = (key, (m, c, len(htoks), len(rtoks)))
+        m, c, hl, rl = best[1]
+        M, C, HL, RL = M + m, C + c, HL + hl, RL + rl
+    meteor = (10 * M / (HL + 9 * RL)) * (1 - 0.5 * (C / M) ** 3) if M else 0.0
+    return {"meteor": meteor, "m": M, "chunks": C, "hyp_len": HL, "ref_len": RL}
+
+
 # ------------------------------------------------------------ pure-python twin
 def corpus_bleu_py(
     hyps: list[str], refs: list[list[str]], max_n: int = 4

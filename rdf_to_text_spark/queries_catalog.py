@@ -1476,6 +1476,78 @@ def eval_ter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "eval_meteor_counts",
+    r"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+hyp AS (SELECT doc_id, toks FROM docs),
+ref AS (  -- deletion ref: drop 1-based positions ≡ 1 (mod 7)
+  SELECT doc_id, list_filter(toks, (x, i) -> i % 7 != 1) AS r FROM docs
+),
+hp AS (  -- hyp token occurrences with per-token rank
+  SELECT doc_id, toks[i] AS t, i,
+         row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i) AS rnk
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM hyp)
+),
+rp AS (
+  SELECT doc_id, r[j] AS t, j,
+         row_number() OVER (PARTITION BY doc_id, r[j] ORDER BY j) AS rnk
+  FROM (SELECT doc_id, r, generate_subscripts(r, 1) AS j FROM ref)
+),
+pairs AS (  -- rank-paired exact matching (k-th occ ↔ k-th occ)
+  SELECT hp.doc_id, hp.i, rp.j
+  FROM hp JOIN rp ON rp.doc_id = hp.doc_id AND rp.t = hp.t AND rp.rnk = hp.rnk
+),
+stats AS (  -- chunk starts = pairs with no predecessor pair (i-1, j-1)
+  SELECT p.doc_id, count(*) AS m,
+         sum(CASE WHEN p2.i IS NULL THEN 1 ELSE 0 END) AS chunks
+  FROM pairs p
+  LEFT JOIN pairs p2
+    ON p2.doc_id = p.doc_id AND p2.i = p.i - 1 AND p2.j = p.j - 1
+  GROUP BY 1
+)
+SELECT CAST(h.doc_id AS BIGINT) AS id,
+       CAST(coalesce(s.m, 0) AS INT) AS m,
+       CAST(coalesce(s.chunks, 0) AS INT) AS chunks,
+       CAST(len(h.toks) AS INT) AS hyp_len,
+       CAST(len(rf.r) AS INT) AS ref_len
+FROM hyp h
+JOIN ref rf ON rf.doc_id = h.doc_id
+LEFT JOIN stats s ON s.doc_id = h.doc_id""",
+)
+def eval_meteor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METEOR-analog eval stats (operators/evalmetrics.py:meteor_stats)
+    — the last of the reference's 3 eval metrics (metrics.py:4-56 +
+    meteor-1.5.jar; exact-match module, rank-paired alignment, chunk
+    minimization / stem / synonym stages documented out in the
+    operator). Unlike the TER oracle (provable synthetic construction),
+    this oracle replays the REAL algorithm on arbitrary text: rank-join
+    on (token, occurrence-rank) reproduces the maximum exact matching,
+    and a predecessor LEFT JOIN on (i-1, j-1) counts chunk starts —
+    so m and chunks are verified on the actual documents, not a
+    closed form."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+    hyps = base.select("id", F.concat_ws(" ", "toks").alias("hyp"))
+    refs = base.select(
+        "id",
+        F.concat_ws(
+            " ", F.filter("toks", lambda x, i: (i % 7) != F.lit(0))
+        ).alias("ref"),
+    )
+    out = evalmetrics.meteor_stats(hyps, refs)
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("m").cast("int"),
+        F.col("chunks").cast("int"),
+        F.col("hyp_len").cast("int"),
+        F.col("ref_len").cast("int"),
+    )
+
+
+@_register(
     "events_salted_collect",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
        string_agg(event_type, ',' ORDER BY event_type) AS event_types

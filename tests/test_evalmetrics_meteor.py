@@ -1,0 +1,112 @@
+"""METEOR analog: rank-paired exact matching + chunk penalty.
+
+Pins the alignment kernel to an independent per-token zip construction,
+the Spark operator (best-ref selection included) to the pure twin, and
+the corpus formula to hand-computed cases. Simplifications vs the
+METEOR tool (no chunk-minimizing search, no stem/synonym modules) are
+documented in the operator docstring.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rdf_to_text_spark.operators.evalmetrics import (
+    _meteor_align_py,
+    _meteor_score_frac,
+    corpus_meteor,
+    meteor_py,
+    meteor_stats,
+)
+
+
+def _align_spec(htoks, rtoks):
+    """Independent construction: per-token zip of occurrence positions
+    (the SQL oracle's rank-join), then predecessor-set chunk count."""
+    from collections import defaultdict
+
+    hpos, rpos = defaultdict(list), defaultdict(list)
+    for i, t in enumerate(htoks):
+        hpos[t].append(i)
+    for j, t in enumerate(rtoks):
+        rpos[t].append(j)
+    pairs = set()
+    for t in hpos:
+        for i, j in zip(hpos[t], rpos.get(t, [])):
+            pairs.add((i, j))
+    chunks = sum(1 for (i, j) in pairs if (i - 1, j - 1) not in pairs)
+    return len(pairs), chunks
+
+
+@pytest.mark.parametrize(
+    "h,r,want_m,want_chunks",
+    [
+        ("the cat sat", "the cat sat", 3, 1),
+        ("the cat sat", "sat cat the", 3, 3),
+        ("a b c d", "a b x d", 3, 2),
+        ("a a b", "a b", 2, 2),  # 2nd 'a' unmatched; (0,0),(2,1) not a run
+        ("x y", "p q", 0, 0),
+        ("", "a", 0, 0),
+    ],
+)
+def test_align_directed(h, r, want_m, want_chunks):
+    assert _meteor_align_py(h.split(), r.split()) == (want_m, want_chunks)
+
+
+def test_align_fuzz_vs_spec():
+    rng = random.Random(13)
+    alpha = ["a", "b", "c", "d"]
+    for _ in range(300):
+        h = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        r = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        assert _meteor_align_py(h, r) == _align_spec(h, r), (h, r)
+
+
+def test_score_formula_exact():
+    from fractions import Fraction
+
+    # identical 3-token strings: P=R=1, Fmean=10/10=1, pen=0.5*(1/3)^3
+    s = _meteor_score_frac(3, 1, 3, 3)
+    assert s == Fraction(10 * 3 * (2 * 27 - 1), 2 * 27 * (3 + 27))
+    assert s == 1 - Fraction(1, 54)
+    assert _meteor_score_frac(0, 0, 5, 5) == 0
+
+
+def test_best_ref_prefers_higher_score():
+    # identical ref (1 chunk) must beat the scrambled ref (3 chunks)
+    out = meteor_py(["the cat sat"], [["sat cat the", "the cat sat"]])
+    assert (out["m"], out["chunks"]) == (3, 1)
+
+
+def test_spark_matches_twin(spark):
+    rng = random.Random(3)
+    alpha = ["w1", "w2", "w3", "w4", "w5"]
+    hyps, refs = [], []
+    for i in range(25):
+        hyps.append(" ".join(rng.choice(alpha) for _ in range(rng.randint(1, 10))))
+        refs.append(
+            [
+                " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+                for _ in range(rng.randint(1, 3))
+            ]
+        )
+    hdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hyps)], "id long, hyp string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, r) for i, rl in enumerate(refs) for r in rl], "id long, ref string"
+    )
+    got = corpus_meteor(hdf, rdf).collect()[0]
+    want = meteor_py(hyps, refs)
+    for k in ("m", "chunks", "hyp_len", "ref_len"):
+        assert got[k] == want[k], k
+    assert abs(got["meteor"] - want["meteor"]) < 1e-12
+
+
+def test_hyp_without_ref_dropped(spark):
+    hdf = spark.createDataFrame([(0, "a b"), (1, "c d")], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, "a b")], "id long, ref string")
+    rows = meteor_stats(hdf, rdf).collect()
+    assert [(r["id"], r["m"]) for r in rows] == [(0, 2)]
