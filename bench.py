@@ -83,6 +83,10 @@ def main() -> None:
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            # repeated invocations each persist fresh rank/signature
+            # caches; release them once materialized so best-of loops
+            # don't accumulate executor memory
+            queries_catalog.release_caches()
         timings[name] = round(best, 3)
 
     # ANN quality: recall of the LSH path vs exact brute force
@@ -107,6 +111,7 @@ def main() -> None:
             extras["ann_ivf_recall"] = round(len(brute & ivf) / len(brute), 3)
     except Exception:
         pass
+    queries_catalog.release_caches()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -112,6 +112,18 @@ class TokenGramScanner:
                 for _pid, seq in entries:
                     first_ok[seq[0]] = True
             self._first_ok[length] = first_ok
+        # The tuple maps are only read on the verification path (hashed
+        # or collided keys). In the exact, collision-free production
+        # regime the numpy arrays fully answer membership — drop the
+        # per-pattern PyObject tuples there, which at a million-surface
+        # dictionary would otherwise hold O(100 MB) per executor for
+        # nothing.
+        self._lengths: list[int] = sorted(self._by_len)
+        self._by_len = {
+            length: d
+            for length, d in self._by_len.items()
+            if not self._exact[length] or self._collided[length]
+        }
 
     def _encode(self, ids: tuple[int, ...], exact: bool) -> int:
         key = 0
@@ -140,7 +152,7 @@ class TokenGramScanner:
         greedy longest-leftmost order (start ascending) — exactly
         ``AhoCorasick.find_longest``.
         """
-        if not self._by_len or len(texts) == 0:
+        if not self._lengths or len(texts) == 0:
             return _EMPTY
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -169,7 +181,7 @@ class TokenGramScanner:
         if len(vocab_pos) == 0:
             return _EMPTY
         vocab_ids = ids[vocab_pos]
-        for length, keymap in self._by_len.items():
+        for length in self._lengths:
             if n < length:
                 continue
             exact = self._exact[length]
@@ -202,7 +214,9 @@ class TokenGramScanner:
             pids = self._pids_arr[length][ins[sel_c]]
             if not exact or self._collided[length]:
                 # hashed keys may collide: verify each candidate's token
-                # ids against the pattern(s) behind its key (rare path)
+                # ids against the pattern(s) behind its key (rare path;
+                # _by_len retains exactly these lengths)
+                keymap = self._by_len[length]
                 keep = np.ones(len(pos), dtype=bool)
                 pids = pids.copy()
                 cand_keys = key[sel_c]

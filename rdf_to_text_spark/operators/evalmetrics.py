@@ -257,10 +257,15 @@ def ter_stats(
         StructType,
     )
 
-    r = refs.select(F.col(id_col).alias("id"), _toks(ref_col).alias("rtoks"))
-    h = (
-        hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
-        .join(r.select("id").distinct(), "id", "left_semi")
+    # NULL text (a failed generation) tokenizes to an empty array rather
+    # than poisoning the pandas kernel; the inner join below already
+    # drops hypotheses with no reference (no semi-join needed).
+    empty = F.array().cast("array<string>")
+    r = refs.select(
+        F.col(id_col).alias("id"), F.coalesce(_toks(ref_col), empty).alias("rtoks")
+    )
+    h = hyps.select(
+        F.col(id_col).alias("id"), F.coalesce(_toks(hyp_col), empty).alias("htoks")
     )
     joined = h.join(r, "id").select(
         "id",
@@ -314,10 +319,13 @@ def corpus_ter(
 ) -> DataFrame:
     """One-row (ter, edits, ref_len): corpus TER = sum(edits)/sum(ref_len)."""
     per = ter_stats(hyps, refs, id_col, hyp_col, ref_col)
+    edits = F.coalesce(F.sum("edits"), F.lit(0)).cast("long")
+    ref_len = F.coalesce(F.sum("ref_len"), F.lit(0)).cast("long")
+    # empty input / all-empty refs → 0.0, matching ter_py (not NULL)
     return per.agg(
-        (F.sum("edits") / F.sum("ref_len")).alias("ter"),
-        F.sum("edits").cast("long").alias("edits"),
-        F.sum("ref_len").cast("long").alias("ref_len"),
+        F.when(ref_len > 0, edits / ref_len).otherwise(F.lit(0.0)).alias("ter"),
+        edits.alias("edits"),
+        ref_len.alias("ref_len"),
     )
 
 
@@ -424,10 +432,14 @@ def meteor_stats(
         StructType,
     )
 
-    r = refs.select(F.col(id_col).alias("id"), _toks(ref_col).alias("rtoks"))
-    h = (
-        hyps.select(F.col(id_col).alias("id"), _toks(hyp_col).alias("htoks"))
-        .join(r.select("id").distinct(), "id", "left_semi")
+    # NULL-safe tokenize (see ter_stats); the inner join drops
+    # hypotheses with no reference on its own.
+    empty = F.array().cast("array<string>")
+    r = refs.select(
+        F.col(id_col).alias("id"), F.coalesce(_toks(ref_col), empty).alias("rtoks")
+    )
+    h = hyps.select(
+        F.col(id_col).alias("id"), F.coalesce(_toks(hyp_col), empty).alias("htoks")
     )
     joined = h.join(r, "id").select("id", "htoks", "rtoks")
 
@@ -473,10 +485,10 @@ def corpus_meteor(
     Fmean = 10PR/(R+9P), penalty = ½(C/M)³."""
     per = meteor_stats(hyps, refs, id_col, hyp_col, ref_col)
     agg = per.agg(
-        F.sum("m").cast("long").alias("m"),
-        F.sum("chunks").cast("long").alias("chunks"),
-        F.sum("hyp_len").cast("long").alias("hyp_len"),
-        F.sum("ref_len").cast("long").alias("ref_len"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(F.sum("chunks"), F.lit(0)).cast("long").alias("chunks"),
+        F.coalesce(F.sum("hyp_len"), F.lit(0)).cast("long").alias("hyp_len"),
+        F.coalesce(F.sum("ref_len"), F.lit(0)).cast("long").alias("ref_len"),
     )
     m, c = F.col("m"), F.col("chunks")
     fmean = 10 * m / (F.col("hyp_len") + 9 * F.col("ref_len"))

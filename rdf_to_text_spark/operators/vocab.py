@@ -31,7 +31,12 @@ def word_counts(lines: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def build_vocab(lines: DataFrame, text_col: str = "text", limit: int | None = None) -> DataFrame:
+def build_vocab(
+    lines: DataFrame,
+    text_col: str = "text",
+    limit: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
     """(word, cnt, vocab_id) — freq-ranked ids after 7 specials.
 
     Specials occupy ids 0-6 (`build_vocab.py:36`); corpus words start
@@ -41,6 +46,9 @@ def build_vocab(lines: DataFrame, text_col: str = "text", limit: int | None = No
     but a web corpus's long tail of rare words is itself huge, and the
     id assignment must not funnel it through one task. (cnt desc, word)
     is a total order — `word` is unique after the count groupBy.
+
+    `cleanup` is forwarded to global_row_numbers (persist handle for
+    caller-controlled unpersist; see functions/ranking.py).
     """
     from ..functions.ranking import global_row_numbers
 
@@ -48,7 +56,7 @@ def build_vocab(lines: DataFrame, text_col: str = "text", limit: int | None = No
     if limit:
         counts = counts.orderBy(F.desc("cnt"), "word").limit(limit)
     ranked = global_row_numbers(
-        counts, [F.col("cnt").desc(), F.col("word")], rn_col="_rn"
+        counts, [F.col("cnt").desc(), F.col("word")], rn_col="_rn", cleanup=cleanup
     ).withColumn("vocab_id", (F.col("_rn") + len(SPECIALS) - 1).cast("int")).drop("_rn")
     spark = lines.sparkSession
     specials = spark.createDataFrame(

@@ -28,6 +28,26 @@ from .pipeline import extract_pipeline
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Persist handles accumulated by catalog queries (the `cleanup` hooks the
+# rank/minhash operators expose). Harness loops that materialize many
+# catalog queries in one session (bench.py best-of runs, the grading
+# driver's sweep) call release_caches() between queries so repeated
+# invocations don't pile up session-lifetime executor caches.
+_CLEANUPS: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every cache accumulated since the last call. Only safe
+    AFTER the DataFrames returned by the queries have been materialized
+    (count/collect/toPandas) — unpersisting earlier just re-runs the
+    stage the persist was protecting."""
+    while _CLEANUPS:
+        handle = _CLEANUPS.pop()
+        try:
+            handle.unpersist()
+        except Exception:
+            pass
+
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -41,6 +61,13 @@ def _register(name: str, oracle: str | None = None):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _text_toks() -> F.Column:
+    """Whitespace tokens of `text`, empties dropped — the ONE tokenize
+    rule shared by every eval/mask oracle pair (DuckDB side:
+    regexp_split_to_array(trim(text), '\\s+')). Keep both in sync."""
+    return F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
 
 
 _TRIPLES_CACHE: dict[tuple, DataFrame] = {}
@@ -164,7 +191,7 @@ UNION ALL SELECT * FROM (VALUES {_VOCAB_SPECIALS_SQL}) s(word, cnt, vocab_id)"""
 )
 def kg_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: frequency-ranked vocabulary with 7 special tokens."""
-    return vocab.build_vocab(_docs(spark, sf_dir), "text")
+    return vocab.build_vocab(_docs(spark, sf_dir), "text", cleanup=_CLEANUPS)
 
 
 @_register(
@@ -524,7 +551,12 @@ def kg_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     counts = vocab.word_counts(docs, "text").filter(F.col("cnt") >= 5)
     v = (
-        global_row_numbers(counts, [F.col("cnt").desc(), F.col("word")], rn_col="_rn")
+        global_row_numbers(
+            counts,
+            [F.col("cnt").desc(), F.col("word")],
+            rn_col="_rn",
+            cleanup=_CLEANUPS,
+        )
         .select("word", (F.col("_rn") + 6).cast("int").alias("vocab_id"))
     )
     toks = docs.select(
@@ -673,7 +705,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (fast path; the algorithm
     is hash-checked via the md5-portable twin below)."""
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), cleanup=_CLEANUPS)
 
 
 def _minhash_ab_values() -> str:
@@ -744,7 +776,7 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered on both sides (NULL text diverges: the engine shingles it
     as [''], the oracle drops it)."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    return dedup.minhash_lsh_candidates_md5(docs)
+    return dedup.minhash_lsh_candidates_md5(docs, cleanup=_CLEANUPS)
 
 
 @_register("dedup_simhash")  # rows-only: xxhash64 not portable SQL
@@ -1211,8 +1243,7 @@ def kg_ent_unmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replace chain is the Arrow-batched operator — per-doc work,
     narrow plan, no shuffle."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks")).filter(
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks")).filter(
         F.size("toks") >= 5
     )
     k5 = (F.col("id") % 5).cast("string")
@@ -1280,6 +1311,7 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     firehose formulation — state bounded by the watermark, no global
     sort; complete-mode memory sink is test-harness-only plumbing."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1288,14 +1320,27 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource wants a DIRECTORY; the sf fixture is one file —
     # symlink it into a scratch dir (testdata itself is never written).
     src = tempfile.mkdtemp(prefix="sess_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
-    name = f"sessions_drv_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sess_stream_ckpt_")
-    q = stream_sessionize(spark, src, ckpt, query_name=name)
-    q.awaitTermination()
-    tbl = spark.table(name)
+    name = f"sessions_drv_{uuid.uuid4().hex[:8]}"
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+        q = stream_sessionize(spark, src, ckpt, query_name=name)
+        q.awaitTermination()
+        # materialize off the complete-mode memory sink so the scratch
+        # dirs, checkpoint state, and pinned sink table can be released
+        # NOW instead of leaking one set per invocation (session rollups
+        # are tiny — thousands of rows)
+        pdf = spark.table(name).toPandas()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    local = spark.createDataFrame(
+        pdf[["user_id", "session_start", "session_end", "n_events"]],
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+    )
     w = Window.partitionBy("user_id").orderBy("session_start")
-    return tbl.select(
+    return local.select(
         F.col("user_id").cast("long"),
         F.row_number().over(w).cast("int").alias("session_id"),
         F.col("n_events").cast("long"),
@@ -1442,8 +1487,7 @@ def eval_ter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned separately by the pure-python twin tests
     (tests/test_evalmetrics_ter.py)."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks"))
     hyps = base.select("id", F.concat_ws(" ", "toks").alias("hyp"))
     # Spark higher-order-function lambdas index from 0; DuckDB from 1.
     del_ref = base.select(
@@ -1528,8 +1572,7 @@ def eval_meteor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so m and chunks are verified on the actual documents, not a
     closed form."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks"))
     hyps = base.select("id", F.concat_ws(" ", "toks").alias("hyp"))
     refs = base.select(
         "id",

@@ -110,3 +110,18 @@ def test_hyp_without_ref_dropped(spark):
     rdf = spark.createDataFrame([(0, "a b")], "id long, ref string")
     rows = meteor_stats(hdf, rdf).collect()
     assert [(r["id"], r["m"]) for r in rows] == [(0, 2)]
+
+
+def test_meteor_null_text_and_empty_input(spark):
+    """NULL text tokenizes to empty (m=0, score 0) instead of crashing;
+    empty input aggregates to zeros, not NULLs."""
+    hdf = spark.createDataFrame([(0, None), (1, "a b")], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, "a b"), (1, None)], "id long, ref string")
+    rows = {r.id: r for r in meteor_stats(hdf, rdf).collect()}
+    assert (rows[0].m, rows[0].hyp_len, rows[0].ref_len) == (0, 0, 2)
+    assert (rows[1].m, rows[1].hyp_len, rows[1].ref_len) == (0, 2, 0)
+    empty = corpus_meteor(
+        spark.createDataFrame([(9, "x")], "id long, hyp string"),
+        spark.createDataFrame([], "id long, ref string"),
+    ).collect()[0]
+    assert (empty.meteor, empty.m, empty.chunks) == (0.0, 0, 0)

@@ -111,3 +111,18 @@ def test_ter_stats_hyp_without_ref_dropped(spark):
     rdf = spark.createDataFrame([(0, "a b")], "id long, ref string")
     rows = ter_stats(hdf, rdf).collect()
     assert [(r["id"], r["edits"]) for r in rows] == [(0, 0)]
+
+
+def test_ter_null_text_and_empty_input(spark):
+    """NULL hyp/ref text (failed generations) must not crash the kernel,
+    and empty joinable input yields ter=0.0 (not NULL), matching ter_py."""
+    hdf = spark.createDataFrame([(0, None), (1, "a b")], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, "a b"), (1, None)], "id long, ref string")
+    rows = {r.id: r for r in ter_stats(hdf, rdf).collect()}
+    assert (rows[0].edits, rows[0].hyp_len, rows[0].ref_len) == (2, 0, 2)
+    assert (rows[1].edits, rows[1].hyp_len, rows[1].ref_len) == (2, 2, 0)
+    empty = corpus_ter(
+        spark.createDataFrame([(9, "x")], "id long, hyp string"),
+        spark.createDataFrame([], "id long, ref string"),
+    ).collect()[0]
+    assert (empty.ter, empty.edits, empty.ref_len) == (0.0, 0, 0)
