@@ -1927,6 +1927,82 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_salted_join",
+    """WITH ut AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+SELECT CAST(e.user_id AS BIGINT) AS user_id, e.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(ut.user_total) AS BIGINT) AS user_total
+FROM events e JOIN ut ON ut.user_id = e.user_id
+GROUP BY 1, 2""",
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN driven through a plain-join oracle (the join twin of
+    `events_salted_collect`): probe = events (the skewed side — the
+    fixture plants hot users), build = per-user totals, joined via
+    operators/skew.py:salted_join — build rows replicated n_salts ways,
+    probe rows scattered by a deterministic full-row hash salt, join on
+    (key, salt). The oracle is the UNSALTED join: hash-match proves the
+    salting is a pure physical rewrite. This is mitigation #2 from the
+    skew toolkit for keys too hot for AQE and build sides too big to
+    broadcast; here the build side is small, which is exactly what lets
+    DuckDB replay it."""
+    from .operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    ut = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    joined = salted_join(ev, ut, "user_id", n_salts=8)
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.max("user_total").alias("user_total")
+    ).select(
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("n").cast("long"),
+        F.col("user_total").cast("long"),
+    )
+
+
+@_register(
+    "top_customer_per_nation",
+    """WITH mx AS (SELECT c_nationkey, max(c_acctbal) AS mab
+           FROM customer GROUP BY 1)
+SELECT n.n_name AS nation, c.c_name AS c_name,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN mx ON mx.c_nationkey = c.c_nationkey AND c.c_acctbal = mx.mab
+JOIN nation n ON n.n_nationkey = c.c_nationkey""",
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's essential shape on the slim schema: a correlated
+    scalar subquery over the SAME table (`c_acctbal = (SELECT max(...)
+    WHERE same nation)`) DECORRELATED into one per-group aggregate +
+    equality join back — ties preserved, exactly the correlated
+    semantics. Both the 25-row max table and nation are broadcast; the
+    fact side is scanned once. Equality on stored doubles is exact on
+    both engines (same parquet values, no arithmetic)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    mx = (
+        c.groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("mab"))
+        .select(F.col("c_nationkey").alias("mx_nk"), "mab")
+    )
+    return (
+        c.join(
+            F.broadcast(mx),
+            (c.c_nationkey == F.col("mx_nk")) & (c.c_acctbal == F.col("mab")),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_name",
+            F.col("c_acctbal").cast("double"),
+        )
+    )
+
+
+@_register(
     "orders_running_total",
     """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey,
