@@ -89,6 +89,30 @@ def main() -> None:
             queries_catalog.release_caches()
         timings[name] = round(best, 3)
 
+    # Round-3 additions, timed once each (kept OUT of the headline list
+    # and the total so `value` stays comparable across rounds)
+    r3 = {}
+    for name in (
+        "eval_ter_counts",
+        "eval_meteor_counts",
+        "kg_ent_unmask",
+        "events_sessionize_stream",
+        "tpch_q18_big_orders",
+        "tpch_q7_volume_shipping",
+        "events_salted_join",
+        "top_customer_per_nation",
+    ):
+        if name not in queries_catalog.QUERIES:
+            continue
+        try:
+            t0 = time.time()
+            queries_catalog.QUERIES[name](spark, SF_DIR).count()
+            r3[name] = round(time.time() - t0, 3)
+        except Exception:
+            r3[name] = -1.0
+        queries_catalog.release_caches()
+    extras["r3_queries_sec"] = r3
+
     # ANN quality: recall of the LSH path vs exact brute force
     try:
         brute = {
