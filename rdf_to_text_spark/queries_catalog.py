@@ -1927,6 +1927,112 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_resize_geometry",
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+m AS (
+  SELECT doc_id AS media_id,
+         CAST(100 + (doc_id * 37) % 4000 AS INT) AS width,
+         CAST(100 + (doc_id * 53) % 3000 AS INT) AS height,
+         strlen(text) AS plen
+  FROM docs
+),
+g AS (
+  SELECT *, CASE WHEN greatest(width, height) > 256
+                 THEN 256.0 / greatest(width, height) ELSE 1.0 END AS scale
+  FROM m
+),
+t AS (
+  SELECT media_id, width, height, plen,
+         CAST(greatest(floor(width * scale), 1) AS INT) AS target_w,
+         CAST(greatest(floor(height * scale), 1) AS INT) AS target_h
+  FROM g
+),
+s AS (  -- stub kernel replay: n_out = max(int(len*area_ratio), 1)
+  SELECT *, greatest(CAST(trunc(plen * (CAST(target_w * target_h AS DOUBLE)
+                                        / greatest(width * height, 1))) AS BIGINT),
+                     1) AS n_out
+  FROM t
+),
+st AS (SELECT *, greatest(plen // n_out, 1) AS step FROM s)
+SELECT CAST(media_id AS BIGINT) AS media_id, width, height, target_w, target_h,
+       CAST(least((plen + step - 1) // step, n_out) AS INT) AS n_bytes
+FROM st""",
+)
+def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize driven END-TO-END through the driver gate
+    (operators/multimodal.py:resize_images): a media table is
+    synthesized deterministically from `documents` (dimensions from
+    doc_id arithmetic, payload = the doc's UTF-8 bytes), the operator
+    computes the aspect-preserving never-upscale target geometry
+    ENGINE-side and runs the Arrow-batched byte kernel, and the oracle
+    replays both — geometry in identical IEEE double ops
+    (256.0/longest, floor) and the deterministic stub kernel
+    (strided subsample length) in pure integer arithmetic:
+    n_out = max(trunc(len·(tw·th)/(w·h)), 1), step = max(len÷n_out, 1),
+    n_bytes = min(⌈len/step⌉, n_out). The decode stub itself stays a
+    loudly-raising NotImplementedError (no Pillow in container) — this
+    checks everything AROUND it: schema, geometry, batch kernel,
+    pruning shape."""
+    from .operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    did = F.col("doc_id")
+    media = docs.select(
+        did.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (100 + (did * 37) % 4000).cast("int").alias("width"),
+            (100 + (did * 53) % 3000).cast("int").alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = multimodal.resize_images(media, max_side=256)
+    return out.select(
+        F.col("media_id").cast("long"),
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.col("n_bytes").cast("int"),
+    )
+
+
+@_register(
+    "multimodal_frame_plan",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(unnest(generate_series(0, greatest(CAST(500 + (doc_id * 91) % 20000 AS INT) - 1, 0), 1000)) AS INT) AS frame_ts_ms
+FROM documents WHERE trim(text) <> ''""",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.py:frame_sample_plan):
+    pure engine arithmetic over metadata — one row per (media_id,
+    frame_ts_ms) at a 1 s cadence, duration synthesized from doc_id.
+    No payload is ever touched; the oracle replays the inclusive
+    sequence directly."""
+    from .operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    did = F.col("doc_id")
+    media = docs.select(
+        did.alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            (500 + (did * 91) % 20000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = multimodal.frame_sample_plan(media, every_ms=1000)
+    return out.select(
+        F.col("media_id").cast("long"), F.col("frame_ts_ms").cast("int")
+    )
+
+
+@_register(
     "events_salted_join",
     """WITH ut AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
 SELECT CAST(e.user_id AS BIGINT) AS user_id, e.event_type AS event_type,
