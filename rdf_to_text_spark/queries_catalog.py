@@ -99,6 +99,44 @@ def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("kg_extract_triples_stream", fixtures.gold_triples_sql())
+def kg_extract_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP pipeline run through Structured Streaming
+    (streaming/extract_stream.py:stream_extract) against the SAME gold
+    oracle as the batch flagship: pages are rendered to a scratch
+    parquet dir (4 files → multiple micro-batches at
+    maxFilesPerTrigger=8's floor), file-streamed through the identical
+    `extract_pipeline` narrow map with a checkpointed exactly-once
+    parquet sink, and the sink is read back. A hash match makes
+    stream≡batch a driver-checked fact for the core extraction path,
+    not only for sessionization. Scratch dirs and checkpoint state are
+    released after materialization (same pattern as
+    events_sessionize_stream)."""
+    import shutil
+    import tempfile
+
+    from .streaming.extract_stream import stream_extract
+
+    work = tempfile.mkdtemp(prefix="extract_stream_")
+    try:
+        pages = fixtures.pages_from_documents(spark, sf_dir)
+        pages.repartition(4).write.mode("overwrite").parquet(f"{work}/pages")
+        q = stream_extract(spark, f"{work}/pages", f"{work}/out", f"{work}/ckpt")
+        q.awaitTermination()
+        pdf = (
+            spark.read.parquet(f"{work}/out")
+            .select("doc_id", "sent_idx", "subj", "pred", "obj")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "sent_idx", "subj", "pred", "obj"]],
+        "doc_id long, sent_idx int, subj string, pred string, obj string",
+    )
+    return out
+
+
 @_register(
     "kg_levi_edges",
     f"""WITH {fixtures.gold_cte()}
