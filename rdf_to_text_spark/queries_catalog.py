@@ -137,6 +137,44 @@ def kg_extract_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register("kg_resumable_extract", fixtures.gold_triples_sql())
+def kg_resumable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/north_rule resumability driven through the driver gate: the
+    chunked sink (sinks/merge.py:run_resumable — per-chunk lineage rows
+    committed in the same single pass as the triples via observe) is
+    run on HALF the input (chunks 0-1), then resumed over the FULL
+    input. The resume run must process exactly the unfinished chunks
+    {2, 3} (asserted — a broken skip surfaces as a driver error, not a
+    silent pass), and the final edge table must hash-match the same
+    gold oracle as the batch flagship — which also proves the
+    dynamic-partition-overwrite idempotence left no duplicate rows.
+    Scratch dirs are released after materialization."""
+    import shutil
+    import tempfile
+
+    from .sinks.merge import run_resumable
+
+    work = tempfile.mkdtemp(prefix="resumable_drv_")
+    try:
+        pages = fixtures.pages_from_documents(spark, sf_dir)
+        half = pages.filter(F.pmod(F.col("doc_id"), F.lit(4)) < 2)
+        first = run_resumable(spark, half, work, n_chunks=4)
+        assert {r["chunk_id"] for r in first} == {0, 1}, first
+        second = run_resumable(spark, pages, work, n_chunks=4)
+        assert {r["chunk_id"] for r in second} == {2, 3}, second
+        pdf = (
+            spark.read.parquet(f"{work}/edges")
+            .select("doc_id", "sent_idx", "subj", "pred", "obj")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf[["doc_id", "sent_idx", "subj", "pred", "obj"]],
+        "doc_id long, sent_idx int, subj string, pred string, obj string",
+    )
+
+
 @_register(
     "kg_levi_edges",
     f"""WITH {fixtures.gold_cte()}
