@@ -101,6 +101,10 @@ def main() -> None:
         "tpch_q7_volume_shipping",
         "events_salted_join",
         "top_customer_per_nation",
+        "multimodal_resize_geometry",
+        "multimodal_frame_plan",
+        "kg_extract_triples_stream",
+        "kg_resumable_extract",
     ):
         if name not in queries_catalog.QUERIES:
             continue
