@@ -236,6 +236,7 @@ def connected_components(
         return _finish_locally(e)
     converged = False
     e_checkpointed = True
+    stalls = 0
     for i in range(max_iter):
         new_e = _star_round(e)
         e_checkpointed = False
@@ -260,15 +261,23 @@ def connected_components(
                 break
             if shortcut_ratio and cnt > shortcut_ratio * prev_cnt:
                 # Contraction stalled — the chain-dominated regime where
-                # star rounds propagate the min one hop at a time. One
-                # pointer-doubling pass (edge ADDITION, components
-                # unchanged) doubles the propagation rate; see
+                # star rounds propagate the min one hop at a time. A
+                # pointer-jumping pass (edge ADDITION, components
+                # unchanged) multiplies the propagation rate; on
+                # REPEATED stalls the jump depth escalates (reach
+                # squares per extra composition, each an n-row join —
+                # far cheaper than the star rounds it saves); see
                 # :func:`_shortcut_edges`.
-                new_e = _shortcut_edges(new_e).localCheckpoint(eager=True)
+                stalls += 1
+                new_e = _shortcut_edges(
+                    new_e, jumps=min(1 + 2 * stalls, 10)
+                ).localCheckpoint(eager=True)
                 cnt = new_e.count()
                 if stats is not None:
                     stats["shortcuts"] += 1
                     stats["counts"].append(cnt)
+            else:
+                stalls = 0
             prev_cnt = cnt
         e = new_e
     if not converged:
