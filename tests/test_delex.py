@@ -229,3 +229,32 @@ def test_ent_unmask_spark_operator(spark):
     got = {r.id: r.relex_text for r in ent_unmask(df).collect()}
     for i, line, pairs in rows:
         assert got[i] == ent_unmask_py(line, pairs), i
+
+
+def test_ent_unmask_fuzz_vs_reference_replay():
+    """Random masked lines / pkl-shaped triples: the operator must track
+    the ent_unmask.py replay byte-for-byte, including overlapping-mask
+    substrings, punctuation-heavy surfaces, and case folding."""
+    import random
+
+    from rdf_to_text_spark.operators.delex import ent_unmask_pkl_py
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "(y)", "a-b", "z,z"]
+    masks = ["ENT_1_A", "ENT_2_B", "ENT_1", "PRED_X", "M"]
+    for _ in range(300):
+        ex = []
+        for _t in range(rng.randint(1, 3)):
+            tri = [
+                (
+                    " ".join(rng.choice(words) for _ in range(rng.randint(1, 3))),
+                    rng.choice(masks),
+                )
+                for _j in range(3)
+            ]
+            ex.append(tri)
+        line = " ".join(
+            rng.choice([rng.choice(words)] + [m.lower() for m in masks])
+            for _ in range(rng.randint(0, 10))
+        )
+        assert ent_unmask_pkl_py(line, ex) == _ref_unmask_replay(line, ex), (line, ex)
