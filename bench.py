@@ -28,6 +28,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    CATALOG = queries_catalog.all_queries()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     # warm the JVM, shuffle machinery, window exec, and Python workers so
     # per-query times are steady-state
@@ -70,24 +71,32 @@ def main() -> None:
             "tpch_q1",
             "top_orders_per_segment",
         )
-        if name in queries_catalog.QUERIES
+        if name in CATALOG
     ]
+    # best-of-3 with a separately-reported steady state: this sandbox has
+    # heavy noisy-neighbor CPU steal (identical runs vary 3x, BENCH.md
+    # control experiments) AND a cold first run that pays JVM/Python-
+    # worker/scan warmup. `queries`/`value` stay min-of-all-runs (the
+    # round-over-round comparable number); `queries_steady`/`value_steady`
+    # exclude the cold run (min of runs 2..3) so capability comparisons
+    # aren't polluted by warmup landing on a stolen window.
+    steady: dict[str, float] = {}
     for name in headline:
-        fn = queries_catalog.QUERIES[name]
-        # best-of-2: this sandbox has heavy noisy-neighbor CPU steal
-        # (identical runs vary 3x); min wall is the capability estimate
-        best, n = None, 0
-        for _ in range(2):
+        fn = CATALOG[name]
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            df.count()
+            runs.append(time.time() - t0)
             # repeated invocations each persist fresh rank/signature
             # caches; release them once materialized so best-of loops
             # don't accumulate executor memory
             queries_catalog.release_caches()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        steady[name] = round(min(runs[1:]), 3)
+    extras["queries_steady"] = steady
+    extras["value_steady"] = round(sum(steady.values()), 3)
 
     # Round-3 additions, timed once each (kept OUT of the headline list
     # and the total so `value` stays comparable across rounds)
@@ -106,14 +115,16 @@ def main() -> None:
         "kg_extract_triples_stream",
         "kg_resumable_extract",
     ):
-        if name not in queries_catalog.QUERIES:
+        if name not in CATALOG:
             continue
         try:
             t0 = time.time()
-            queries_catalog.QUERIES[name](spark, SF_DIR).count()
+            CATALOG[name](spark, SF_DIR).count()
             r3[name] = round(time.time() - t0, 3)
-        except Exception:
-            r3[name] = -1.0
+        except Exception as e:
+            # visible breakage, not a bare sentinel: a query that starts
+            # throwing must show its error in BENCH output
+            r3[name] = {"sec": -1.0, "err": f"{type(e).__name__}: {e}"[:200]}
         queries_catalog.release_caches()
     extras["r3_queries_sec"] = r3
 
@@ -121,11 +132,11 @@ def main() -> None:
     try:
         brute = {
             (r.query_id, r.neighbor_id)
-            for r in queries_catalog.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+            for r in CATALOG["ann_cosine_topk"](spark, SF_DIR).collect()
         }
         lsh = {
             (r.query_id, r.neighbor_id)
-            for r in queries_catalog.QUERIES["ann_cosine_lsh"](spark, SF_DIR).collect()
+            for r in CATALOG["ann_cosine_lsh"](spark, SF_DIR).collect()
         }
         if brute:
             extras["ann_lsh_recall"] = round(len(brute & lsh) / len(brute), 3)
@@ -133,7 +144,7 @@ def main() -> None:
         # ann_cosine_ivf is the exact degenerate config by design)
         ivf = {
             (r.query_id, r.neighbor_id)
-            for r in queries_catalog.QUERIES["ann_cosine_ivf_probe"](spark, SF_DIR).collect()
+            for r in CATALOG["ann_cosine_ivf_probe"](spark, SF_DIR).collect()
         }
         if brute:
             extras["ann_ivf_recall"] = round(len(brute & ivf) / len(brute), 3)

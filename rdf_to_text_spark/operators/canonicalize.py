@@ -272,12 +272,17 @@ def connected_components(
                 new_e = _shortcut_edges(
                     new_e, jumps=min(1 + 2 * stalls, 10)
                 ).localCheckpoint(eager=True)
-                cnt = new_e.count()
+                aug_cnt = new_e.count()
                 if stats is not None:
                     stats["shortcuts"] += 1
-                    stats["counts"].append(cnt)
+                    stats["counts"].append(aug_cnt)
             else:
                 stalls = 0
+            # The stall baseline is the PRE-shortcut star-round count:
+            # shortcut augmentation inflates the edge set, and comparing
+            # the next round against the inflated number would let a
+            # continuing stall pass the ratio test and spuriously reset
+            # the jump-depth escalation.
             prev_cnt = cnt
         e = new_e
     if not converged:

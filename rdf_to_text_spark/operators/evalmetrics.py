@@ -238,7 +238,8 @@ def ter_stats(
     Levenshtein (ins/del/sub, unit costs) against the closest-length
     reference, an upper bound on tercom's edit count. The closest-ref
     rule matches bleu_stats (min |rl-hl|, ties → shorter) with the ref
-    token string as the final deterministic tiebreak (W2): unlike BLEU
+    token string's md5 as the final deterministic tiebreak (W2,
+    collation-free across engines): unlike BLEU
     — which only uses the chosen ref's LENGTH — TER depends on its
     content, so the order must be total.
 
@@ -274,10 +275,13 @@ def ter_stats(
         F.size("htoks").alias("hl"),
         F.size("rtoks").alias("rl"),
     )
+    # Final tiebreak: md5 of the joined ref string — collation-free, so
+    # Spark (UTF8 binary) and any SQL oracle (DuckDB ORDER BY) agree on
+    # non-ASCII refs tying on (abs length diff, ref length) too.
     w = Window.partitionBy("id").orderBy(
         F.abs(F.col("rl") - F.col("hl")),
         F.col("rl"),
-        F.concat_ws(" ", F.col("rtoks")),
+        F.md5(F.concat_ws(" ", F.col("rtoks"))),
     )
     chosen = (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -331,13 +335,19 @@ def corpus_ter(
 
 def ter_py(hyps: list[str], refs: list[list[str]]) -> dict:
     """Pure-python twin of ter_stats/corpus_ter (the unit-test spec)."""
+    import hashlib
+
     total_edits = total_ref = 0
     for hyp, rlist in zip(hyps, refs):
         htoks = hyp.split()
         best = None
         for rf in rlist:
             rtoks = rf.split()
-            key = (abs(len(rtoks) - len(htoks)), len(rtoks), " ".join(rtoks))
+            key = (
+                abs(len(rtoks) - len(htoks)),
+                len(rtoks),
+                hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
+            )
             if best is None or key < best[0]:
                 best = (key, rtoks)
         rtoks = best[1]
@@ -390,6 +400,66 @@ def _meteor_align_py(htoks: list, rtoks: list) -> tuple[int, int]:
     return len(pairs), chunks
 
 
+def _meteor_align_beam(htoks: list, rtoks: list, beam: int = 20) -> tuple[int, int]:
+    """(m, chunks) under a CHUNK-MINIMIZING maximum exact matching,
+    found by beam search over alternative maximum matchings — the
+    strategy METEOR 1.5 itself uses for this stage. m is invariant
+    across maximum matchings (Σ_t min counts); only the pairing of
+    occurrences varies, so this never changes m, it can only lower
+    chunks vs the rank-paired alignment (:func:`_meteor_align_py`).
+
+    Search: scan hypothesis positions left→right. State = (used ref
+    positions, ref position matched at i-1 or None, chunks so far).
+    At a hyp occurrence of type t we either match it to any unused ref
+    position of t, or skip it — skipping is legal only while enough
+    later hyp occurrences of t remain to keep the matching maximum.
+    States are deduplicated on (used, prev_j) keeping min chunks and
+    pruned to `beam` best (chunks, then prefer continuing a run).
+    Beam width bounds the result: chunks is an upper bound on the true
+    minimum, ≤ the rank-paired count (the rank-paired alignment is in
+    the initial beam's reachable set on fixtures; asserted ≤ in tests).
+    """
+    rpos: dict = {}
+    for j, t in enumerate(rtoks):
+        rpos.setdefault(t, []).append(j)
+    hcnt: dict = {}
+    for t in htoks:
+        hcnt[t] = hcnt.get(t, 0) + 1
+    # need[t]: how many hyp occurrences of t MUST match (maximality)
+    need = {t: min(c, len(rpos.get(t, ()))) for t, c in hcnt.items()}
+    remaining = dict(hcnt)  # hyp occurrences of t at position >= i
+    # state: (chunks, prev_j, used_frozenset)
+    states = [(0, None, frozenset())]
+    for i, t in enumerate(htoks):
+        nxt: dict = {}
+        cand = rpos.get(t, ())
+        rem_after = remaining[t] - 1  # occurrences of t strictly after i
+        for chunks, prev_j, used in states:
+            used_t = sum(1 for j in cand if j in used)
+            need_t = need[t] - used_t  # matches of t still required
+            if rem_after >= need_t:  # skipping keeps maximality feasible
+                # a skip breaks any run: prev_j becomes non-adjacent
+                key = (None, used)
+                cur = nxt.get(key)
+                if cur is None or chunks < cur[0]:
+                    nxt[key] = (chunks, None, used)
+            if need_t > 0:
+                for j in cand:
+                    if j in used:
+                        continue
+                    c2 = chunks + (0 if prev_j is not None and j == prev_j + 1 else 1)
+                    u2 = used | {j}
+                    key = (j, u2)
+                    cur = nxt.get(key)
+                    if cur is None or c2 < cur[0]:
+                        nxt[key] = (c2, j, u2)
+        remaining[t] = rem_after
+        states = sorted(nxt.values(), key=lambda s: (s[0], s[1] is None))[:beam]
+    m = sum(need.values())
+    best_chunks = min(s[0] for s in states) if states else 0
+    return m, min(best_chunks, _meteor_align_py(htoks, rtoks)[1])
+
+
 def _meteor_score_frac(m: int, chunks: int, hl: int, rl: int):
     """Exact rational METEOR score: Fmean·(1−penalty) with
     Fmean = 10PR/(R+9P) = 10m/(hl+9rl) and penalty = ½(chunks/m)³
@@ -408,6 +478,8 @@ def meteor_stats(
     id_col: str = "id",
     hyp_col: str = "hyp",
     ref_col: str = "ref",
+    minimize_chunks: bool = False,
+    beam: int = 20,
 ) -> DataFrame:
     """Per-sentence METEOR-analog integer stats against the BEST
     reference: (id, m, chunks, hyp_len, ref_len).
@@ -415,15 +487,26 @@ def meteor_stats(
     Completes the reference's 3-metric eval gate (BLEU/METEOR/TER,
     `webnlg_eval_scripts/metrics.py:4-56`; METEOR via meteor-1.5.jar)
     alongside :func:`bleu_stats` and :func:`ter_stats`. Matching model
-    documented in :func:`_meteor_align_py`. Best-ref = max exact
-    rational score (ties → shorter ref, then ref string — W2 total
-    order).
+    documented in :func:`_meteor_align_py`; with ``minimize_chunks``
+    the alignment is the chunk-minimizing beam search of
+    :func:`_meteor_align_beam` (METEOR 1.5's own stage — m unchanged,
+    chunks ≤ the rank-paired count). Best-ref = max exact rational
+    score; ties → shorter ref, then md5 of the joined ref string — a
+    collation-free total order (W2), identical on any engine/locale.
 
-    Scale shape: tokenize is engine-side; one applyInPandas over
-    (id)-groups runs the O(len) counting kernel per (hyp, ref) pair and
-    the exact-Fraction argmax per hypothesis. Eval sets are orders of
-    magnitude smaller than the corpus — never the job bottleneck.
+    Scale shape: tokenize is engine-side; references collapse to ONE
+    row per hypothesis via collect_list, so a single Arrow-batched
+    mapInPandas runs the O(len) counting kernel and the exact-Fraction
+    best-ref argmax — per-sentence parallelism with no per-group pandas
+    construction (the former per-id applyInPandas paid one tiny pandas
+    group per sentence; this is the ter_stats shape, ~2-3x faster at
+    sf0.1). Refs-per-sentence is metric-bounded (the reference pads to
+    8, metrics.py:50-55), so collect_list rows stay small. Eval sets
+    are orders of magnitude smaller than the corpus — never the job
+    bottleneck.
     """
+    import hashlib
+
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType,
@@ -441,7 +524,14 @@ def meteor_stats(
     h = hyps.select(
         F.col(id_col).alias("id"), F.coalesce(_toks(hyp_col), empty).alias("htoks")
     )
-    joined = h.join(r, "id").select("id", "htoks", "rtoks")
+    grouped = (
+        h.join(r, "id")
+        .groupBy("id")
+        .agg(
+            F.first("htoks").alias("htoks"),
+            F.collect_list("rtoks").alias("rlists"),
+        )
+    )
 
     schema = StructType(
         [
@@ -452,25 +542,36 @@ def meteor_stats(
             StructField("ref_len", IntegerType()),
         ]
     )
+    align = (
+        (lambda ht, rt: _meteor_align_beam(ht, rt, beam))
+        if minimize_chunks
+        else _meteor_align_py
+    )
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        htoks = list(pdf["htoks"].iloc[0])
-        hl = len(htoks)
-        best = None
-        for rt in pdf["rtoks"]:
-            rtoks = list(rt)
-            m, c = _meteor_align_py(htoks, rtoks)
-            score = _meteor_score_frac(m, c, hl, len(rtoks))
-            key = (-score, len(rtoks), " ".join(rtoks))
-            if best is None or key < best[0]:
-                best = (key, (m, c, hl, len(rtoks)))
-        m, c, hl, rl = best[1]
-        return pd.DataFrame(
-            [(int(pdf["id"].iloc[0]), m, c, hl, rl)],
-            columns=["id", "m", "chunks", "hyp_len", "ref_len"],
-        )
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, hh, rls in zip(pdf["id"], pdf["htoks"], pdf["rlists"]):
+                htoks = list(hh)
+                hl = len(htoks)
+                best = None
+                for rt in rls:
+                    rtoks = list(rt)
+                    m, c = align(htoks, rtoks)
+                    score = _meteor_score_frac(m, c, hl, len(rtoks))
+                    key = (
+                        -score,
+                        len(rtoks),
+                        hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
+                    )
+                    if best is None or key < best[0]:
+                        best = (key, (m, c, hl, len(rtoks)))
+                rows.append((int(i), *best[1]))
+            yield pd.DataFrame(
+                rows, columns=["id", "m", "chunks", "hyp_len", "ref_len"]
+            )
 
-    return joined.groupBy("id").applyInPandas(pick, schema)
+    return grouped.mapInPandas(run, schema)
 
 
 def corpus_meteor(
@@ -502,17 +603,28 @@ def corpus_meteor(
     )
 
 
-def meteor_py(hyps: list[str], refs: list[list[str]]) -> dict:
+def meteor_py(
+    hyps: list[str], refs: list[list[str]], minimize_chunks: bool = False
+) -> dict:
     """Pure-python twin of meteor_stats/corpus_meteor (unit-test spec)."""
+    import hashlib
+
     M = C = HL = RL = 0
     for hyp, rlist in zip(hyps, refs):
         htoks = hyp.split()
         best = None
         for rf in rlist:
             rtoks = rf.split()
-            m, c = _meteor_align_py(htoks, rtoks)
+            if minimize_chunks:
+                m, c = _meteor_align_beam(htoks, rtoks)
+            else:
+                m, c = _meteor_align_py(htoks, rtoks)
             score = _meteor_score_frac(m, c, len(htoks), len(rtoks))
-            key = (-score, len(rtoks), " ".join(rtoks))
+            key = (
+                -score,
+                len(rtoks),
+                hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
+            )
             if best is None or key < best[0]:
                 best = (key, (m, c, len(htoks), len(rtoks)))
         m, c, hl, rl = best[1]

@@ -61,11 +61,27 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real pipelines plug Pillow/libjpeg here.
+    """Decode an image payload to an (h, w, 3) uint8 array, BGR order.
 
-    Raises so nobody mistakes the fake path for a real decoder.
+    Real kernel, guarded by format: uncompressed 24-bit BMP decodes in
+    pure numpy (:func:`decode_bmp` — no codec library needed, exercised
+    end-to-end by the `multimodal_decode_bmp` driver query); any other
+    format routes through Pillow when importable. Without Pillow a
+    non-BMP payload still raises loudly — codec-compressed formats are
+    not fakeable and nobody should mistake a stub for a decoder.
     """
-    raise NotImplementedError("image decode requires Pillow/libjpeg (not in this container)")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # optional: absent in this container
+    except ImportError as exc:
+        raise NotImplementedError(
+            "non-BMP image decode requires Pillow/libjpeg (not in this container)"
+        ) from exc
+    rgb = np.asarray(Image.open(BytesIO(payload)).convert("RGB"), dtype=np.uint8)
+    return rgb[:, :, ::-1].copy()  # RGB → BGR, matching decode_bmp
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -176,3 +192,115 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ======================================================== real BMP codec
+# A REAL decoder the container can run: uncompressed 24-bit BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) in pure numpy. This is
+# the one raster format whose decode is arithmetic, not a codec library
+# — so the decode path stops being a stub without Pillow. JPEG/PNG still
+# route through Pillow when present (see decode_image).
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array (BGR channel order, row 0 = top)
+    as an uncompressed 24-bit BMP: bottom-up pixel rows, each padded to
+    a 4-byte boundary."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {a.shape}")
+    h, w, _ = a.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        rows.append(a[y].tobytes() + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    offset = 14 + 40
+    size = offset + len(pixel_data)
+    file_header = b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + offset.to_bytes(4, "little")
+    info_header = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return file_header + info_header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode an uncompressed 24-bit BMP to (h, w, 3) uint8, BGR order,
+    row 0 = top. Pure numpy — no codec library. Handles 4-byte row
+    padding and both bottom-up (height > 0) and top-down (height < 0)
+    storage."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    return rows[::-1].copy() if bottom_up else rows.copy()
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("wsum_b", LongType()),
+        StructField("wsum_g", LongType()),
+        StructField("wsum_r", LongType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image position-weighted channel sums from REAL payload decode:
+    wsum_c = Σ_{x,y} (1 + x + 7y) * channel_c(x, y), integers.
+
+    The weights make the statistic sensitive to pixel POSITION, not just
+    the value multiset — a decoder that flipped rows (bottom-up
+    mishandling), ignored row padding, or swapped channels produces a
+    different sum, so an arithmetic oracle over the constructed pixels
+    pins the geometry of the decode, not merely its histogram. One
+    Arrow-batched mapInPandas; metadata-only filters prune before any
+    payload is touched (same scale shape as extract_features).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = img.shape
+                wgt = 1 + np.arange(w)[None, :] + 7 * np.arange(h)[:, None]
+                sums = (img * wgt[:, :, None]).sum(axis=(0, 1))
+                rows.append(
+                    (int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2]), len(p))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "wsum_b", "wsum_g", "wsum_r", "n_bytes",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_STATS_SCHEMA)

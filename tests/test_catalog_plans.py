@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 def built_plans(spark):
     """Build every catalog DataFrame once (some builders run bounded
     setup actions: KMeans fit, count for a modulus, CC contraction)."""
-    return {name: fn(spark, SF) for name, fn in queries_catalog.QUERIES.items()}
+    return {name: fn(spark, SF) for name, fn in queries_catalog.all_queries().items()}
 
 
 def test_catalog_has_no_rowwise_python(built_plans):

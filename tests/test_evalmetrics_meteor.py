@@ -125,3 +125,52 @@ def test_meteor_null_text_and_empty_input(spark):
         spark.createDataFrame([], "id long, ref string"),
     ).collect()[0]
     assert (empty.meteor, empty.m, empty.chunks) == (0.0, 0, 0)
+
+
+# ---------------------------------------------- chunk-minimizing beam
+def test_beam_reduces_chunks_vs_rank_pairing():
+    """A case where the rank-paired maximum matching is NOT
+    chunk-minimal: hyp 'a a b' vs ref 'a b a'. Rank pairing gives
+    (0,0),(1,2),(2,1) = 3 chunks; pairing a@0->r2, a@1->r0 makes
+    (1,0),(2,1) consecutive = 2 chunks, same m."""
+    from rdf_to_text_spark.operators.evalmetrics import _meteor_align_beam
+
+    h, r = "a a b".split(), "a b a".split()
+    assert _meteor_align_py(h, r) == (3, 3)
+    assert _meteor_align_beam(h, r) == (3, 2)
+
+
+def test_beam_fuzz_same_m_never_more_chunks():
+    from rdf_to_text_spark.operators.evalmetrics import _meteor_align_beam
+
+    rng = random.Random(11)
+    alpha = ["a", "b", "c"]
+    for _ in range(150):
+        h = [rng.choice(alpha) for _ in range(rng.randint(0, 9))]
+        r = [rng.choice(alpha) for _ in range(rng.randint(0, 9))]
+        m_rank, c_rank = _meteor_align_py(h, r)
+        m_beam, c_beam = _meteor_align_beam(h, r)
+        assert m_beam == m_rank, (h, r)
+        assert 0 <= c_beam <= c_rank, (h, r)
+        assert (m_beam == 0) == (c_beam == 0), (h, r)
+
+
+def test_beam_flag_matches_default_when_rank_is_minimal(spark):
+    """On inputs with no repeated tokens the maximum matching is unique,
+    so minimize_chunks=True must reproduce the default path exactly
+    (the driver-oracle fixtures are in this regime for most rows)."""
+    hyps = ["w1 w2 w3 w4", "w2 w4", "w5 w1 w3"]
+    refs = [["w1 w3 w4", "w4 w2 w1"], ["w2 w4"], ["w1 w5"]]
+    hdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hyps)], "id long, hyp string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, r) for i, rl in enumerate(refs) for r in rl], "id long, ref string"
+    )
+    base = {r.id: r for r in meteor_stats(hdf, rdf).collect()}
+    beam = {r.id: r for r in meteor_stats(hdf, rdf, minimize_chunks=True).collect()}
+    assert base.keys() == beam.keys()
+    for i in base:
+        assert tuple(base[i]) == tuple(beam[i]), i
+    # twin agrees under the flag too
+    assert meteor_py(hyps, refs, minimize_chunks=True) == meteor_py(hyps, refs)

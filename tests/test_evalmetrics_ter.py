@@ -60,13 +60,18 @@ def test_token_edit_distance_fuzz():
 
 
 def test_ter_py_closest_ref_rule():
-    # refs: length-tie broken by shorter then string; content matters
+    # refs: length-tie broken by shorter then md5 of the ref string
+    # (collation-free total order); content matters for the edit count
+    import hashlib
+
     hyps = ["a b c d"]
+    # both 4-token refs tie on |rl-hl|=0 and rl=4 → md5 order decides;
+    # md5("z z z z") = 1b93… < md5("a b c x") = 225f… so the 4-edit ref
+    # wins, proving the tiebreak (not edit count) drives selection
+    assert hashlib.md5(b"z z z z").hexdigest() < hashlib.md5(b"a b c x").hexdigest()
     refs = [["a b c x", "a b c d e f", "z z z z"]]
-    # both 4-token refs tie on |rl-hl|=0 and rl=4 → string order picks
-    # "a b c x" (1 edit) over "z z z z" (4 edits)
     out = ter_py(hyps, refs)
-    assert out["edits"] == 1 and out["ref_len"] == 4
+    assert out["edits"] == 4 and out["ref_len"] == 4
 
 
 def test_ter_stats_spark_matches_twin(spark):
