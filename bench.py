@@ -98,35 +98,52 @@ def main() -> None:
     extras["queries_steady"] = steady
     extras["value_steady"] = round(sum(steady.values()), 3)
 
-    # Round-3 additions, timed once each (kept OUT of the headline list
-    # and the total so `value` stays comparable across rounds)
-    r3 = {}
-    for name in (
-        "eval_ter_counts",
-        "eval_meteor_counts",
-        "kg_ent_unmask",
-        "events_sessionize_stream",
-        "tpch_q18_big_orders",
-        "tpch_q7_volume_shipping",
-        "events_salted_join",
-        "top_customer_per_nation",
-        "multimodal_resize_geometry",
-        "multimodal_frame_plan",
-        "kg_extract_triples_stream",
-        "kg_resumable_extract",
-    ):
-        if name not in CATALOG:
-            continue
-        try:
-            t0 = time.time()
-            CATALOG[name](spark, SF_DIR).count()
-            r3[name] = round(time.time() - t0, 3)
-        except Exception as e:
-            # visible breakage, not a bare sentinel: a query that starts
-            # throwing must show its error in BENCH output
-            r3[name] = {"sec": -1.0, "err": f"{type(e).__name__}: {e}"[:200]}
-        queries_catalog.release_caches()
-    extras["r3_queries_sec"] = r3
+    # Round-3/4 additions, timed separately (kept OUT of the headline
+    # list and the total so `value` stays comparable across rounds).
+    # Stream queries run best-of-2: the first call renders+caches the
+    # pages scratch dir, so run 2 times the STREAM (micro-batches +
+    # checkpointed sink), not tempdir churn — that's the stable number.
+    def timed(names: tuple, best_of: dict) -> dict:
+        out = {}
+        for name in names:
+            if name not in CATALOG:
+                continue
+            try:
+                runs = []
+                for _ in range(best_of.get(name, 1)):
+                    t0 = time.time()
+                    CATALOG[name](spark, SF_DIR).count()
+                    runs.append(time.time() - t0)
+                    queries_catalog.release_caches()
+                out[name] = round(min(runs), 3)
+            except Exception as e:
+                # visible breakage, not a bare sentinel: a query that
+                # starts throwing must show its error in BENCH output
+                out[name] = {"sec": -1.0, "err": f"{type(e).__name__}: {e}"[:200]}
+                queries_catalog.release_caches()
+        return out
+
+    stream_best2 = {"kg_extract_triples_stream": 2, "events_sessionize_stream": 2}
+    extras["r3_queries_sec"] = timed(
+        (
+            "eval_ter_counts",
+            "eval_meteor_counts",
+            "kg_ent_unmask",
+            "events_sessionize_stream",
+            "tpch_q18_big_orders",
+            "tpch_q7_volume_shipping",
+            "events_salted_join",
+            "top_customer_per_nation",
+            "multimodal_resize_geometry",
+            "multimodal_frame_plan",
+            "kg_extract_triples_stream",
+            "kg_resumable_extract",
+        ),
+        stream_best2,
+    )
+    extras["r4_queries_sec"] = timed(
+        ("kg_cc_scale", "multimodal_decode_bmp"), {}
+    )
 
     # ANN quality: recall of the LSH path vs exact brute force
     try:

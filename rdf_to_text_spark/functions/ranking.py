@@ -31,6 +31,7 @@ def global_row_numbers(
     num_partitions: int | None = None,
     small_threshold: int = 100_000,
     cleanup: list | None = None,
+    pin_result: bool = False,
 ) -> DataFrame:
     """df + `rn_col` = 1-based global rank under `order_cols` (must be a
     total order).
@@ -54,6 +55,18 @@ def global_row_numbers(
     should pass `cleanup`: the persisted handle is appended to it, and
     the caller unpersists after materializing the result
     (`for h in cleanup: h.unpersist()`).
+
+    CLEANUP CONTRACT — after the cleanup handle is unpersisted, the
+    returned DataFrame must NOT be executed again: a re-execution
+    re-runs repartitionByRange with fresh sampled boundaries while the
+    driver-side offset map stays frozen, silently producing duplicate/
+    skipped ranks. Materialize exactly once (count/collect/write), then
+    release. Callers that need a re-executable result pass
+    `pin_result=True`: the output is localCheckpoint-ed (lazily) before
+    returning, so once the first action materializes it, re-executions
+    read the stored partitions and never touch the sampler again —
+    at the cost of caching the full ranked output. The same contract
+    applies to the MinHash signature handles in operators/dedup.py.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -67,10 +80,15 @@ def global_row_numbers(
         r._pid: r.n
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
+    def _finish(res: DataFrame) -> DataFrame:
+        return res.localCheckpoint(eager=False) if pin_result else res
+
     if sum(sizes.values()) <= small_threshold:
         w = Window.orderBy(*order_cols)
-        return ranged.drop("_pid").withColumn(
-            rn_col, F.row_number().over(w).cast("long")
+        return _finish(
+            ranged.drop("_pid").withColumn(
+                rn_col, F.row_number().over(w).cast("long")
+            )
         )
     offsets, acc = {}, 0
     for pid in sorted(sizes):
@@ -85,4 +103,4 @@ def global_row_numbers(
         .withColumn(rn_col, (omap[F.col("_pid")] + F.col("_local")).cast("long"))
         .drop("_pid", "_local")
     )
-    return out
+    return _finish(out)

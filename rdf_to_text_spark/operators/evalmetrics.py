@@ -221,22 +221,104 @@ def _token_edit_distance(a: list, b: list) -> int:
     return int(prev[-1])
 
 
+def _ter_shifted_edits(
+    htoks: list,
+    rtoks: list,
+    max_block: int = 10,
+    max_shift_dist: int | None = None,
+    max_iters: int = 25,
+) -> int:
+    """Total TER edits WITH block shifts: tercom's greedy strategy
+    (shift cost 1 each, then Levenshtein of the shifted hypothesis).
+
+    Each round scans candidate moves — a contiguous hypothesis block
+    (length ≤ `max_block`, tercom's MAX_SHIFT_SIZE default) that
+    exactly matches a reference block, re-inserted so it aligns with
+    that reference occurrence — and greedily applies the move with the
+    largest strict reduction in edit distance; rounds repeat until no
+    move improves. Deterministic: candidates are scanned longest block
+    first, then by block position, then by reference occurrence, and
+    only a strictly smaller distance replaces the incumbent.
+
+    Sound pruning: Levenshtein ≥ |len(h) − len(r)| and a shift never
+    changes lengths, so when the current distance already equals the
+    length gap no shift can strictly improve — the search exits before
+    scanning (this makes pure-insertion/deletion pairs free). Within a
+    round, a candidate hitting that lower bound is accepted on the
+    spot. Deviations from tercom, stated plainly: candidate insertion
+    points are the matched reference positions only (tercom also tries
+    intermediate positions), `max_shift_dist` defaults to uncapped
+    (tercom caps at 50 — a speed knob, exposed here as a parameter),
+    and tercom's word-alignment precondition (block must contain a
+    misaligned word) is subsumed by the strict-improvement test. The
+    result is ≤ the shift-free edit count by construction.
+    """
+    cur = list(htoks)
+    d = _token_edit_distance(cur, rtoks)
+    m = len(rtoks)
+    shifts = 0
+    if m == 0 or not cur:
+        return d
+    ref_index: dict = {}
+    for ln in range(1, min(max_block, m) + 1):
+        for p in range(m - ln + 1):
+            ref_index.setdefault(tuple(rtoks[p : p + ln]), []).append(p)
+    for _ in range(max_iters):
+        lower = abs(len(cur) - m)
+        if d == lower:
+            break  # no shift can strictly improve past the length bound
+        best_d, best_cur, done = d, None, False
+        n = len(cur)
+        for ln in range(min(max_block, n), 0, -1):
+            if done:
+                break
+            for i in range(n - ln + 1):
+                if done:
+                    break
+                block = tuple(cur[i : i + ln])
+                positions = ref_index.get(block)
+                if not positions:
+                    continue
+                rest = cur[:i] + cur[i + ln :]
+                for p in positions:
+                    j = min(p, len(rest))
+                    if j == i:
+                        continue  # no-op move
+                    if max_shift_dist is not None and abs(j - i) > max_shift_dist:
+                        continue
+                    cand = rest[:j] + list(block) + rest[j:]
+                    nd = _token_edit_distance(cand, rtoks)
+                    if nd < best_d:
+                        best_d, best_cur = nd, cand
+                        if nd == lower:
+                            done = True  # provably unbeatable this round
+                            break
+        if best_cur is None:
+            break
+        d, cur = best_d, best_cur
+        shifts += 1
+    return shifts + d
+
+
 def ter_stats(
     hyps: DataFrame,
     refs: DataFrame,
     id_col: str = "id",
     hyp_col: str = "hyp",
     ref_col: str = "ref",
+    shifts: bool = False,
 ) -> DataFrame:
     """Per-sentence TER-style integer stats: (id, edits, hyp_len, ref_len).
 
     Completes the reference's 3-metric eval gate (BLEU/METEOR/TER —
     `webnlg_eval_scripts/metrics.py:4-56` preps hyp/ref files and pads
     references to 8 per sentence :50-55 before shelling out to
-    `tercom.7.25.jar`). Simplification, stated plainly: tercom's block
-    SHIFT operation is not modeled — `edits` is the token-level
+    `tercom.7.25.jar`). With ``shifts=False`` `edits` is the token-level
     Levenshtein (ins/del/sub, unit costs) against the closest-length
-    reference, an upper bound on tercom's edit count. The closest-ref
+    reference — an upper bound on tercom's edit count; with
+    ``shifts=True`` tercom's block-shift operation is modeled too, via
+    the greedy search of :func:`_ter_shifted_edits` (shift cost 1,
+    remaining deviations documented there). The closest-ref
     rule matches bleu_stats (min |rl-hl|, ties → shorter) with the ref
     token string's md5 as the final deterministic tiebreak (W2,
     collation-free across engines): unlike BLEU
@@ -298,12 +380,14 @@ def ter_stats(
         ]
     )
 
+    kernel = _ter_shifted_edits if shifts else _token_edit_distance
+
     def run(batches):
         for pdf in batches:
             rows = [
                 (
                     int(i),
-                    _token_edit_distance(list(hh), list(rr)),
+                    kernel(list(hh), list(rr)),
                     len(hh),
                     len(rr),
                 )
@@ -320,9 +404,10 @@ def corpus_ter(
     id_col: str = "id",
     hyp_col: str = "hyp",
     ref_col: str = "ref",
+    shifts: bool = False,
 ) -> DataFrame:
     """One-row (ter, edits, ref_len): corpus TER = sum(edits)/sum(ref_len)."""
-    per = ter_stats(hyps, refs, id_col, hyp_col, ref_col)
+    per = ter_stats(hyps, refs, id_col, hyp_col, ref_col, shifts=shifts)
     edits = F.coalesce(F.sum("edits"), F.lit(0)).cast("long")
     ref_len = F.coalesce(F.sum("ref_len"), F.lit(0)).cast("long")
     # empty input / all-empty refs → 0.0, matching ter_py (not NULL)
@@ -333,7 +418,7 @@ def corpus_ter(
     )
 
 
-def ter_py(hyps: list[str], refs: list[list[str]]) -> dict:
+def ter_py(hyps: list[str], refs: list[list[str]], shifts: bool = False) -> dict:
     """Pure-python twin of ter_stats/corpus_ter (the unit-test spec)."""
     import hashlib
 
@@ -351,16 +436,61 @@ def ter_py(hyps: list[str], refs: list[list[str]]) -> dict:
             if best is None or key < best[0]:
                 best = (key, rtoks)
         rtoks = best[1]
+
         # classic O(n*m) DP, no tricks — the spec the numpy row must match
-        n, m = len(htoks), len(rtoks)
-        dp = list(range(m + 1))
-        for i in range(1, n + 1):
-            prev_diag, dp[0] = dp[0], i
-            for j in range(1, m + 1):
-                cost = 0 if htoks[i - 1] == rtoks[j - 1] else 1
-                prev_diag, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev_diag + cost)
-        total_edits += dp[m]
-        total_ref += m
+        def lev(a: list, b: list) -> int:
+            dp = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                prev_diag, dp[0] = dp[0], i
+                for j in range(1, len(b) + 1):
+                    cost = 0 if a[i - 1] == b[j - 1] else 1
+                    prev_diag, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev_diag + cost
+                    )
+            return dp[len(b)]
+
+        if not shifts:
+            total_edits += lev(htoks, rtoks)
+        else:
+            # literal greedy shift spec, independent loops (mirrors the
+            # documented candidate order of _ter_shifted_edits: longest
+            # block, then block position, then ref occurrence; strict
+            # improvement; lower-bound pruning/instant-accept)
+            cur, n_shifts = list(htoks), 0
+            d = lev(cur, rtoks)
+            m = len(rtoks)
+            for _ in range(25):
+                if m == 0 or not cur or d == abs(len(cur) - m):
+                    break
+                lower = abs(len(cur) - m)
+                best_d, best_cur, done = d, None, False
+                for ln in range(min(10, len(cur)), 0, -1):
+                    if done:
+                        break
+                    for i in range(len(cur) - ln + 1):
+                        if done:
+                            break
+                        block = cur[i : i + ln]
+                        rest = cur[:i] + cur[i + ln :]
+                        for p in range(m - ln + 1):
+                            if rtoks[p : p + ln] != block:
+                                continue
+                            j = min(p, len(rest))
+                            if j == i:
+                                continue
+                            cand = rest[:j] + block + rest[j:]
+                            nd = lev(cand, rtoks)
+                            if nd < best_d:
+                                best_d, best_cur = nd, cand
+                                if nd == lower:
+                                    done = True
+                                    break
+                if best_cur is None:
+                    break
+                d, cur = best_d, best_cur
+                n_shifts += 1
+            total_edits += n_shifts + d
+        total_ref += len(rtoks)
     return {
         "ter": total_edits / total_ref if total_ref else 0.0,
         "edits": total_edits,

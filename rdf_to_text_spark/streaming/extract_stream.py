@@ -28,11 +28,18 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
 ) -> StreamingQuery:
-    """File-stream extraction with checkpointed exactly-once output."""
+    """File-stream extraction with checkpointed exactly-once output.
+
+    `max_files_per_trigger` caps the files per micro-batch — set it
+    BELOW the input file count to genuinely exercise multi-batch
+    processing (and the sink's per-batch exactly-once commits); the
+    catalog's driver query does, and asserts ≥2 batches ran.
+    """
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
     triples = extract_pipeline(pages, use_html=True)

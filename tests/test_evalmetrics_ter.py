@@ -2,9 +2,11 @@
 
 The reference gates generations on BLEU/METEOR/TER
 (`webnlg_eval_scripts/metrics.py` + tercom.7.25.jar); ter_stats is the
-distributed analog (token Levenshtein, no shifts — documented). These
-tests pin the DP kernel to a classic O(n·m) reimplementation and the
-full Spark operator (closest-ref + DP) to ter_py on golden cases.
+distributed analog: token Levenshtein, plus tercom's greedy block
+shifts behind `shifts=True`. These tests pin the DP kernel to a classic
+O(n·m) reimplementation, the shift search to an independent literal
+spec (in ter_py), and the full Spark operator (closest-ref + DP +
+shifts) to ter_py on golden and fuzzed cases.
 """
 
 from __future__ import annotations
@@ -131,3 +133,75 @@ def test_ter_null_text_and_empty_input(spark):
         spark.createDataFrame([], "id long, ref string"),
     ).collect()[0]
     assert (empty.ter, empty.edits, empty.ref_len) == (0.0, 0, 0)
+
+
+# ------------------------------------------------------- tercom shifts
+def test_shift_fixes_rotation_in_one_edit():
+    from rdf_to_text_spark.operators.evalmetrics import (
+        _ter_shifted_edits,
+        _token_edit_distance,
+    )
+
+    h = "a b c d e f g h i j k l m n".split()
+    r = h[3:] + h[:3]
+    assert _token_edit_distance(h, r) == 6
+    assert _ter_shifted_edits(h, r) == 1  # one shift, zero edits after
+
+
+def test_shift_never_helps_pure_insertion_or_deletion():
+    """Levenshtein >= |len diff| and shifts preserve lengths, so on the
+    driver fixture's del/ins refs the greedy provably accepts nothing."""
+    from rdf_to_text_spark.operators.evalmetrics import (
+        _ter_shifted_edits,
+        _token_edit_distance,
+    )
+
+    h = [f"t{i}" for i in range(20)]
+    d_ref = [t for i, t in enumerate(h) if i % 7 != 0]
+    i_ref = [t for i, t in enumerate(h) for _ in range(2 if (i + 1) % 5 == 0 else 1)]
+    for r in (d_ref, i_ref):
+        assert _ter_shifted_edits(h, r) == _token_edit_distance(h, r) == abs(len(h) - len(r))
+
+
+def test_shifted_kernel_fuzz_vs_twin_and_upper_bound():
+    from rdf_to_text_spark.operators.evalmetrics import (
+        _ter_shifted_edits,
+        _token_edit_distance,
+        ter_py,
+    )
+
+    rng = random.Random(17)
+    alpha = ["a", "b", "c", "d"]
+    for _ in range(250):
+        h = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        r = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        got = _ter_shifted_edits(h, r)
+        want = ter_py([" ".join(h)], [[" ".join(r)]], shifts=True)["edits"]
+        assert got == want, (h, r, got, want)
+        assert got <= _token_edit_distance(h, r), (h, r)
+
+
+def test_ter_stats_shifts_spark_matches_twin(spark):
+    rng = random.Random(23)
+    alpha = ["w1", "w2", "w3", "w4"]
+    hyps, refs = [], []
+    for i in range(20):
+        hyps.append(" ".join(rng.choice(alpha) for _ in range(rng.randint(1, 9))))
+        refs.append(
+            [
+                " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(1, 3))
+            ]
+        )
+    hdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hyps)], "id long, hyp string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, r) for i, rl in enumerate(refs) for r in rl], "id long, ref string"
+    )
+    from rdf_to_text_spark.operators.evalmetrics import corpus_ter, ter_py
+
+    got = corpus_ter(hdf, rdf, shifts=True).collect()[0]
+    want = ter_py(hyps, refs, shifts=True)
+    assert (got["edits"], got["ref_len"]) == (want["edits"], want["ref_len"])
+    assert abs(got["ter"] - want["ter"]) < 1e-12

@@ -74,3 +74,29 @@ def test_global_row_numbers_empty(spark):
 
     df = spark.createDataFrame([], "word string, cnt long")
     assert global_row_numbers(df, [F.col("cnt")]).count() == 0
+
+
+def test_global_row_numbers_pin_result_survives_cache_release(spark):
+    """With pin_result=True the ranked output stays correct when it is
+    re-executed AFTER the internal range-partition cache is released —
+    the failure mode the cleanup contract forbids for unpinned results
+    (repartitionByRange would resample boundaries against the frozen
+    offset map)."""
+    from pyspark.sql import functions as F
+
+    from rdf_to_text_spark.functions.ranking import global_row_numbers
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("k")
+    )
+    cleanup: list = []
+    out = global_row_numbers(
+        df, [F.col("k"), F.col("id")], num_partitions=8,
+        small_threshold=0, cleanup=cleanup, pin_result=True,
+    )
+    first = {r.id: r.rn for r in out.collect()}  # materializes the pin
+    for h in cleanup:
+        h.unpersist()
+    second = {r.id: r.rn for r in out.collect()}  # re-execution
+    assert first == second
+    assert sorted(first.values()) == list(range(1, 5001))
