@@ -499,32 +499,56 @@ def ter_py(hyps: list[str], refs: list[list[str]], shifts: bool = False) -> dict
 
 
 # ============================================================== METEOR analog
-def _meteor_align_py(htoks: list, rtoks: list) -> tuple[int, int]:
-    """(m, chunks) under RANK-PAIRED exact matching: the k-th occurrence
-    of a token in the hypothesis matches the k-th occurrence in the
-    reference, so m = Σ_t min(cnt_hyp(t), cnt_ref(t)) — a true maximum
-    exact matching. chunks = matched pairs (i, j) whose predecessor
-    (i-1, j-1) is NOT matched (runs consecutive in BOTH strings).
+def _meteor_align_py(
+    htoks: list, rtoks: list, stem: bool = False
+) -> tuple[int, int]:
+    """(m, chunks) under RANK-PAIRED matching: within each stage, the
+    k-th occurrence of a key in the hypothesis matches the k-th
+    occurrence in the reference, so per stage m = Σ_key min counts — a
+    true maximum matching on that stage's residual. chunks = matched
+    pairs (i, j) whose predecessor (i-1, j-1) is NOT matched (runs
+    consecutive in BOTH strings), counted over ALL stages' pairs.
 
-    Simplification vs the METEOR tool, stated plainly: METEOR's
-    chunk-MINIMIZING beam search over alternative maximum matchings is
-    not modeled (rank pairing is one deterministic maximum matching, so
-    our chunk count is an upper bound), and the Porter-stem / WordNet
-    synonym modules are out of scope (exact-match module only — the
-    stemmer/synonym data ships with the tool, not this container).
+    Stages mirror METEOR 1.5's module order: exact match first; with
+    ``stem=True``, a second pass matches the RESIDUAL (still-unmatched)
+    tokens by equal Porter stem (functions/porter.py — the published
+    algorithm, no external data). Simplifications vs the METEOR tool,
+    stated plainly: the WordNet synonym module is out of scope (its
+    data ships with the tool, not this container); module weights are
+    not modeled (METEOR 1.5 weights stem matches 0.6 in weighted P/R —
+    here every match counts 1, so stem matching can only raise m);
+    chunk minimization is the separate ``minimize_chunks`` path.
     m, P, R and the score formula are the paper's.
     """
-    rpos: dict = {}
-    for j, t in enumerate(rtoks):
-        rpos.setdefault(t, []).append(j)
-    seen: dict = {}
-    pairs = []
-    for i, t in enumerate(htoks):
-        k = seen.get(t, 0)
-        positions = rpos.get(t)
-        if positions is not None and k < len(positions):
-            pairs.append((i, positions[k]))
-            seen[t] = k + 1
+    pairs: list = []
+    used_h: set = set()
+    used_r: set = set()
+
+    def stage(key) -> None:
+        rpos: dict = {}
+        for j, t in enumerate(rtoks):
+            if j in used_r:
+                continue
+            rpos.setdefault(key(t), []).append(j)
+        seen: dict = {}
+        for i, t in enumerate(htoks):
+            if i in used_h:
+                continue
+            k = key(t)
+            cnt = seen.get(k, 0)
+            positions = rpos.get(k)
+            if positions is not None and cnt < len(positions):
+                j = positions[cnt]
+                pairs.append((i, j))
+                used_h.add(i)
+                used_r.add(j)
+                seen[k] = cnt + 1
+
+    stage(lambda t: t)
+    if stem:
+        from ..functions.porter import porter_stem
+
+        stage(lambda t: porter_stem(t.lower()))
     pairset = set(pairs)
     chunks = sum(1 for (i, j) in pairs if (i - 1, j - 1) not in pairset)
     return len(pairs), chunks
@@ -610,6 +634,7 @@ def meteor_stats(
     ref_col: str = "ref",
     minimize_chunks: bool = False,
     beam: int = 20,
+    stem_match: bool = False,
 ) -> DataFrame:
     """Per-sentence METEOR-analog integer stats against the BEST
     reference: (id, m, chunks, hyp_len, ref_len).
@@ -620,7 +645,10 @@ def meteor_stats(
     documented in :func:`_meteor_align_py`; with ``minimize_chunks``
     the alignment is the chunk-minimizing beam search of
     :func:`_meteor_align_beam` (METEOR 1.5's own stage — m unchanged,
-    chunks ≤ the rank-paired count). Best-ref = max exact rational
+    chunks ≤ the rank-paired count); with ``stem_match`` a second
+    matching stage pairs residual tokens by equal Porter stem
+    (functions/porter.py — METEOR's stem module; the data-dependent
+    WordNet synonym module stays out of scope). Best-ref = max exact rational
     score; ties → shorter ref, then md5 of the joined ref string — a
     collation-free total order (W2), identical on any engine/locale.
 
@@ -672,11 +700,15 @@ def meteor_stats(
             StructField("ref_len", IntegerType()),
         ]
     )
-    align = (
-        (lambda ht, rt: _meteor_align_beam(ht, rt, beam))
-        if minimize_chunks
-        else _meteor_align_py
-    )
+    if minimize_chunks and stem_match:
+        raise ValueError(
+            "minimize_chunks and stem_match are separate fidelity paths; "
+            "combine them once a stem-aware beam is implemented"
+        )
+    if minimize_chunks:
+        align = lambda ht, rt: _meteor_align_beam(ht, rt, beam)  # noqa: E731
+    else:
+        align = lambda ht, rt: _meteor_align_py(ht, rt, stem=stem_match)  # noqa: E731
 
     def run(batches):
         for pdf in batches:
@@ -734,7 +766,10 @@ def corpus_meteor(
 
 
 def meteor_py(
-    hyps: list[str], refs: list[list[str]], minimize_chunks: bool = False
+    hyps: list[str],
+    refs: list[list[str]],
+    minimize_chunks: bool = False,
+    stem_match: bool = False,
 ) -> dict:
     """Pure-python twin of meteor_stats/corpus_meteor (unit-test spec)."""
     import hashlib
@@ -748,7 +783,7 @@ def meteor_py(
             if minimize_chunks:
                 m, c = _meteor_align_beam(htoks, rtoks)
             else:
-                m, c = _meteor_align_py(htoks, rtoks)
+                m, c = _meteor_align_py(htoks, rtoks, stem=stem_match)
             score = _meteor_score_frac(m, c, len(htoks), len(rtoks))
             key = (
                 -score,

@@ -2322,7 +2322,11 @@ def kg_cc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats: dict = {}
     comp = connected_components(
-        chain_edges.unionByName(cross_edges),
+        # 100k edges is ~1.6 MB — 8 partitions keeps per-round task count
+        # proportional to the data instead of the session default (at
+        # local[32]/shuffle=32 the fixed per-task cost dominated: 30 s →
+        # ~16 s). At real scale the edge set sizes the partitioning.
+        chain_edges.unionByName(cross_edges).repartition(8),
         max_iter=30,
         check_every=1,
         local_finish_threshold=0,
