@@ -2485,3 +2485,80 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("c_mktsegment", "o_orderkey", F.col("rank").cast("int"))
     )
+
+
+@_register_extra(
+    "tpch_q13_order_counts",
+    """WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1""",
+)
+def tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution INCLUDING
+    zero-order customers — the capability is the LEFT OUTER join with a
+    pushed non-join predicate on the outer side (a plain filter-then-
+    join would silently drop the zeros), then a group-on-aggregate.
+    Scale shape: orders shuffles once on o_custkey; the second groupBy
+    keys on the tiny c_count domain (AQE coalesces it)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register_extra(
+    "tpch_q20_heavy_suppliers",
+    """WITH demand AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY 1
+),
+sp AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name AS s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sp.l_suppkey FROM sp JOIN demand d ON d.l_partkey = sp.l_partkey
+  WHERE 2 * sp.supp_qty > d.total_qty)""",
+)
+def tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape without partsupp: suppliers shipping more than
+    half of some part's total shipped quantity. The capability is the
+    decorrelated correlated-aggregate threshold — an aggregate joined
+    against a SECOND aggregate of the same relation at coarser grain,
+    feeding a LEFT SEMI join — the reference's src→gen dict-probe
+    pattern lifted to aggregate grain. DECIMAL quantities keep the
+    threshold comparison exact on both engines. Scale shape: lineitem
+    shuffles once on (l_partkey, l_suppkey); the partkey re-aggregate
+    rides partial-agg output; the qualifying-supplier set is tiny so
+    the semi join broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
+    demand = sp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    qualifying = (
+        sp.join(demand, "l_partkey")
+        .filter(2 * F.col("supp_qty") > F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        s.join(F.broadcast(qualifying), "s_suppkey", "left_semi")
+        .select(F.col("s_suppkey").cast("long"), "s_name")
+        .distinct()
+    )
