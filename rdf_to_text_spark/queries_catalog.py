@@ -221,7 +221,12 @@ def kg_resumable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="resumable_drv_")
     try:
-        pages = fixtures.pages_from_documents(spark, sf_dir)
+        # Session-cached rendered-pages parquet (shared with the
+        # streaming flagship): each of the 6 chunk jobs SCANS the input
+        # instead of re-rendering the whole corpus to discard 3/4 of it
+        # — the contract a real resumable job has, where the input
+        # table already exists.
+        pages = spark.read.parquet(_stream_pages_dir(spark, sf_dir))
         half = pages.filter(F.pmod(F.col("doc_id"), F.lit(4)) < 2)
         first = run_resumable(spark, half, work, n_chunks=4)
         assert {r["chunk_id"] for r in first} == {0, 1}, first
