@@ -110,8 +110,10 @@ def ivf_topk(
     `n_cells` k-means cells (pyspark.ml, fitted on the corpus), assign
     each query to its `n_probe` nearest centroids, and run the exact
     scorer only inside probed cells. At 10^9 vectors the cells become
-    the physical partitioning (write bucketed by cell id) so a probe
-    touches n_probe/n_cells of the data.
+    the physical partitioning (:func:`materialize_ivf_cells` writes
+    partitionBy("cell_id") parquet, plan-asserted partition pruning)
+    so a probe touches n_probe/n_cells of the data — at the file
+    listing, not rows-after-read.
 
     Recall envelope: on UNIFORM-RANDOM vectors (IVF's worst case — no
     cluster structure) recall@5 at n_cells=16 measured 0.74/0.78/0.86/
@@ -288,3 +290,37 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int"), "sim")
     )
+
+
+def materialize_ivf_cells(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Write the corpus as an IVF-cell-partitioned parquet table
+    (`partitionBy("cell_id")`) and return the centroids.
+
+    This is the physical layout the ivf_topk docstring promises at
+    scale: with cells as partition directories, a probe query's
+    `cell_id IN (...)` filter becomes PARTITION PRUNING — the scan
+    reads n_probe/n_cells of the files, not rows-after-read. At 10^9
+    vectors this is the difference between touching ~44% of the data
+    and touching ~44% of the *file listing*. Plan-asserted in
+    tests/test_dedup_similarity.py (PartitionFilters on the scan).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn(
+        "_features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        id_col, vec_col, F.col("prediction").alias("cell_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    return [[float(x) for x in ctr] for ctr in model.clusterCenters()]

@@ -2567,3 +2567,46 @@ def tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("long"), "s_name")
         .distinct()
     )
+
+
+@_register_extra(
+    "stream_entity_counts",
+    f"""WITH {fixtures.gold_cte()}
+SELECT subj AS entity, CAST(count(*) AS BIGINT) AS total_mentions
+FROM gold GROUP BY 1""",
+)
+def stream_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming under an oracle: the running
+    per-entity mention counter (streaming/stateful.py:
+    running_entity_counts, applyInPandasWithState, update mode) driven
+    over the session-cached pages dir at maxFilesPerTrigger=1 — four
+    micro-batches, so state genuinely accumulates (asserted: some
+    entity sees ≥2 batches). The FINAL running totals must equal the
+    gold per-subject counts from doc_id arithmetic — the stream≡batch
+    invariant, previously pytest-only, now checked by the same oracle
+    machinery as the rest of the catalog."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import stream_running_counts
+
+    pages_dir = _stream_pages_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stateful_drv_")
+    qname = f"rc_drv_{uuid.uuid4().hex[:8]}"
+    try:
+        q = stream_running_counts(spark, pages_dir, f"{work}/ckpt", query_name=qname)
+        q.awaitTermination()
+        final = spark.sql(
+            f"SELECT entity, max(total_mentions) AS total_mentions, "
+            f"max(batches_seen) AS b FROM {qname} GROUP BY entity"
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+    if len(final) and int(final["b"].max()) < 2:
+        raise RuntimeError("state did not accumulate across micro-batches")
+    out = spark.createDataFrame(
+        final[["entity", "total_mentions"]], "entity string, total_mentions long"
+    )
+    return out

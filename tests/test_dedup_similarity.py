@@ -240,3 +240,25 @@ def test_null_text_does_not_crash_hash_ops(spark):
     # minhash paths: just must not raise
     dedup.minhash_lsh_candidates(docs).collect()
     dedup.minhash_lsh_candidates_md5(docs).collect()
+
+
+def test_ivf_cells_partition_pruning(spark, tmp_path):
+    """The IVF scale path's physical layout: cells materialized as
+    partition directories, so a probe's cell filter prunes at the FILE
+    level (PartitionFilters on the scan), not rows-after-read."""
+    from rdf_to_text_spark.operators.similarity import materialize_ivf_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_cells")
+    centers = materialize_ivf_cells(emb, path, n_cells=8)
+    assert len(centers) == 8
+
+    cells = spark.read.parquet(path)
+    probed = cells.filter(F.col("cell_id").isin([1, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1][:200], plan[:2000]
+    # pruning is semantic too: only the probed cells' rows come back
+    got_cells = {r.cell_id for r in probed.select("cell_id").distinct().collect()}
+    assert got_cells <= {1, 3}
+    # and the whole corpus round-trips through the layout
+    assert cells.count() == emb.count()
