@@ -554,13 +554,24 @@ def _meteor_align_py(
     return len(pairs), chunks
 
 
-def _meteor_align_beam(htoks: list, rtoks: list, beam: int = 20) -> tuple[int, int]:
-    """(m, chunks) under a CHUNK-MINIMIZING maximum exact matching,
-    found by beam search over alternative maximum matchings — the
-    strategy METEOR 1.5 itself uses for this stage. m is invariant
-    across maximum matchings (Σ_t min counts); only the pairing of
+def _meteor_align_beam(
+    htoks: list, rtoks: list, beam: int = 20, stem: bool = False
+) -> tuple[int, int]:
+    """(m, chunks) under a CHUNK-MINIMIZING maximum matching, found by
+    beam search over alternative maximum matchings — the strategy
+    METEOR 1.5 itself uses for this stage. m is invariant across
+    maximum matchings (Σ per-key min counts); only the pairing of
     occurrences varies, so this never changes m, it can only lower
     chunks vs the rank-paired alignment (:func:`_meteor_align_py`).
+
+    With ``stem`` the matching key is the Porter stem class instead of
+    the exact token. Stem equality is an equivalence relation that
+    SUBSUMES exact equality (equal tokens have equal stems), so the
+    match graph is a union of complete bipartite blocks per stem class
+    and the maximum matching size is Σ_class min counts — exactly what
+    the two-stage (exact, then stem-on-residual) rank pairing achieves;
+    the beam then minimizes chunks over those maximum matchings. The
+    unweighted-analog caveat of :func:`_meteor_align_py` applies.
 
     Search: scan hypothesis positions left→right. State = (used ref
     positions, ref position matched at i-1 or None, chunks so far).
@@ -573,6 +584,19 @@ def _meteor_align_beam(htoks: list, rtoks: list, beam: int = 20) -> tuple[int, i
     minimum, ≤ the rank-paired count (the rank-paired alignment is in
     the initial beam's reachable set on fixtures; asserted ≤ in tests).
     """
+    if stem:
+        from ..functions.porter import porter_stem
+
+        _cache: dict = {}
+
+        def kf(t):
+            s = _cache.get(t)
+            if s is None:
+                s = _cache[t] = porter_stem(t.lower())
+            return s
+
+        htoks = [kf(t) for t in htoks]
+        rtoks = [kf(t) for t in rtoks]
     rpos: dict = {}
     for j, t in enumerate(rtoks):
         rpos.setdefault(t, []).append(j)
@@ -700,13 +724,8 @@ def meteor_stats(
             StructField("ref_len", IntegerType()),
         ]
     )
-    if minimize_chunks and stem_match:
-        raise ValueError(
-            "minimize_chunks and stem_match are separate fidelity paths; "
-            "combine them once a stem-aware beam is implemented"
-        )
     if minimize_chunks:
-        align = lambda ht, rt: _meteor_align_beam(ht, rt, beam)  # noqa: E731
+        align = lambda ht, rt: _meteor_align_beam(ht, rt, beam, stem=stem_match)  # noqa: E731
     else:
         align = lambda ht, rt: _meteor_align_py(ht, rt, stem=stem_match)  # noqa: E731
 
@@ -781,7 +800,7 @@ def meteor_py(
         for rf in rlist:
             rtoks = rf.split()
             if minimize_chunks:
-                m, c = _meteor_align_beam(htoks, rtoks)
+                m, c = _meteor_align_beam(htoks, rtoks, stem=stem_match)
             else:
                 m, c = _meteor_align_py(htoks, rtoks, stem=stem_match)
             score = _meteor_score_frac(m, c, len(htoks), len(rtoks))

@@ -88,3 +88,24 @@ def test_meteor_stats_stem_spark_matches_twin(spark):
     base = {r.id: r for r in meteor_stats(hdf, rdf).collect()}
     assert got[0].m > base[0].m
     assert got[2].m == base[2].m == 0
+
+
+def test_stem_beam_combines_with_chunk_minimization(spark):
+    """minimize_chunks + stem_match compose: same m as two-stage rank
+    pairing (stem classes subsume exact types, so max matching size is
+    per-class min counts either way), chunks never more."""
+    from rdf_to_text_spark.operators.evalmetrics import _meteor_align_beam
+
+    rng = random.Random(31)
+    vocab = ["run", "runs", "running", "cat", "cats", "walk", "walked"]
+    for _ in range(100):
+        h = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        r = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        m1, c1 = _meteor_align_py(h, r, stem=True)
+        m2, c2 = _meteor_align_beam(h, r, stem=True)
+        assert m2 == m1 and c2 <= c1, (h, r)
+    # Spark operator accepts both flags together
+    hdf = spark.createDataFrame([(0, "running cats walk")], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, "walked cat runs")], "id long, ref string")
+    row = meteor_stats(hdf, rdf, minimize_chunks=True, stem_match=True).collect()[0]
+    assert row.m == 3  # every token stem-matches
