@@ -140,7 +140,12 @@ def minhash_lsh_candidates(
         action runs later), so by default it lives until session end;
         repeated catalog/bench invocations should pass `cleanup` — the
         persisted handle is appended to it for the caller to unpersist
-        after materializing the result.
+        after materializing the result. Same contract as
+        functions/ranking.py: once the handle is unpersisted, the
+        returned DataFrame must not be re-executed (the signature UDF
+        is deterministic here, so a re-run is merely wasteful, not
+        wrong — unlike rank outputs — but the one-materialization
+        discipline is the same).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k).persist()
