@@ -2610,3 +2610,164 @@ def stream_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         final[["entity", "total_mentions"]], "entity string, total_mentions long"
     )
     return out
+
+
+@_register_extra(
+    "xml_corpus_roundtrip",
+    """WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS size, doc_id % 3 AS cat,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS n_lexs
+  FROM documents
+)
+SELECT 'Id' || doc_id AS eid,
+       'cat' || cat AS category,
+       CAST(size AS VARCHAR) AS size,
+       CAST(size AS INT) AS n_triples,
+       CAST(n_lexs AS INT) AS n_lexs,
+       array_to_string(list_transform(range(0, size),
+                       k -> 'p' || ((doc_id * 5 + k) % 11)), ',') AS preds,
+       array_to_string(list_transform(range(0, size),
+                       k -> 's' || ((doc_id * 3 + k) % 50)), ',') AS subjs
+FROM d WHERE n_lexs > 0""",
+)
+def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under an oracle: WebNLG-shaped XML corpus files are
+    SYNTHESIZED engine-side from doc_id arithmetic (entry attributes,
+    ' | '-separated triple text, 0-2 <lex> children — every 7th entry
+    deliberately lex-less), written one XML document per partition
+    directory, and read back through the REAL reader
+    (sources/readers.py:read_benchmark_xml — binaryFile +
+    ElementTree-in-Arrow). The oracle recomputes the expected entry
+    table from the same arithmetic: a hash match pins attribute
+    extraction, document-order triple parsing, the ' | ' split, and
+    the no-lex skip rule (benchmark_reader.py:73-80) — none of which
+    the oracle shares code with. Scratch is released after
+    materialization."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_benchmark_xml
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    size = (1 + did % 2).cast("int")
+    n_lexs = F.when(did % 7 == 0, F.lit(0)).otherwise(1 + did % 2).cast("int")
+
+    def triple_xml(tag_set: str, tag: str) -> F.Column:
+        body = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), size - 1),
+                lambda k: F.concat(
+                    F.lit(f"<{tag}>"),
+                    F.lit("s"), ((did * 3 + k) % 50).cast("string"),
+                    F.lit(" | p"), ((did * 5 + k) % 11).cast("string"),
+                    F.lit(" | o"), ((did * 7 + k) % 70).cast("string"),
+                    F.lit(f"</{tag}>"),
+                ),
+            ),
+        )
+        return F.concat(F.lit(f"<{tag_set}>"), body, F.lit(f"</{tag_set}>"))
+
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard the empty case
+    lex_xml = F.when(
+        n_lexs > 0,
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), n_lexs),
+                lambda j: F.concat(
+                    F.lit('<lex lid="Id'), j.cast("string"), F.lit('">lex '),
+                    did.cast("string"), F.lit(" "), j.cast("string"), F.lit("</lex>"),
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit('<entry category="cat'), (did % 3).cast("string"),
+        F.lit('" eid="Id'), did.cast("string"),
+        F.lit('" size="'), size.cast("string"), F.lit('">'),
+        triple_xml("originaltripleset", "otriple"),
+        triple_xml("modifiedtripleset", "mtriple"),
+        lex_xml,
+        F.lit("</entry>"),
+    )
+    per_file = (
+        docs.select((did % 8).alias("file_id"), F.struct(did.alias("doc_id"), entry.alias("e")).alias("se"))
+        .groupBy("file_id")
+        .agg(
+            F.concat(
+                F.lit("<benchmark><entries>"),
+                F.concat_ws("", F.transform(F.array_sort(F.collect_list("se")), lambda s: s["e"])),
+                F.lit("</entries></benchmark>"),
+            ).alias("value")
+        )
+    )
+    work = tempfile.mkdtemp(prefix="xml_corpus_")
+    try:
+        per_file.write.partitionBy("file_id").mode("overwrite").text(f"{work}/xml")
+        entries = read_benchmark_xml(spark, f"{work}/xml/*/part-*")
+        out = entries.select(
+            "eid",
+            "category",
+            "size",
+            F.size("mtriples").cast("int").alias("n_triples"),
+            F.size("lexs").cast("int").alias("n_lexs"),
+            F.concat_ws(",", F.transform("mtriples", lambda t: t["p"])).alias("preds"),
+            F.concat_ws(",", F.transform("mtriples", lambda t: t["s"])).alias("subjs"),
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "eid string, category string, size string, n_triples int, "
+        "n_lexs int, preds string, subjs string",
+    )
+
+
+@_register_extra(
+    "vocab_json_roundtrip",
+    f"""WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(replace(replace(text, ' < TSP > ', ' '), ' | ', ' '))), '\\s+')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word),
+ranked AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) + 6 AS INT) AS vocab_id
+  FROM counts
+)
+SELECT word, vocab_id FROM ranked
+UNION ALL SELECT word, vocab_id
+FROM (VALUES {_VOCAB_SPECIALS_SQL}) s(word, cnt, vocab_id)""",
+)
+def vocab_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 under an oracle: the vocabulary is built, written through the
+    REAL JSON sinks (operators/misc.py:write_vocab_json — word2id dict
+    + id-ordered word list, build_vocab.py:53-57), read back from disk,
+    and the two files are cross-checked for consistency (the list is
+    the id-order of the dict) before the reloaded word2id is compared
+    to the same ranking oracle as kg_vocab_topk. Proves the sink
+    round-trips bytes→dict→ids faithfully, not just that the upstream
+    DataFrame was right."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .operators.misc import write_vocab_json
+
+    v = vocab.build_vocab(_docs(spark, sf_dir), "text", cleanup=_CLEANUPS)
+    work = tempfile.mkdtemp(prefix="vocab_json_")
+    try:
+        write_vocab_json(v, f"{work}/word2id.json", f"{work}/id2word.json")
+        with open(f"{work}/word2id.json") as f:
+            word2id = _json.load(f)
+        with open(f"{work}/id2word.json") as f:
+            id2word = _json.load(f)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    by_id = sorted(word2id.items(), key=lambda kv: kv[1])
+    if [w for w, _ in by_id] != id2word:
+        raise RuntimeError("id2word list is not the id-order of word2id")
+    return spark.createDataFrame(
+        [(w, int(i)) for w, i in word2id.items()], "word string, vocab_id int"
+    )
