@@ -2771,3 +2771,102 @@ def vocab_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(w, int(i)) for w, i in word2id.items()], "word string, vocab_id int"
     )
+
+
+@_register_extra(
+    "multiref_files_roundtrip",
+    """WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n_refs FROM documents
+),
+refs AS (
+  SELECT doc_id,
+         list_sort(list_transform(range(0, n_refs),
+                   j -> 'ref ' || ((doc_id * 13 + j * 7) % 97))) AS r
+  FROM d
+)
+SELECT 'doc' || doc_id AS src,
+       CAST(generate_subscripts(r, 1) - 1 AS INT) AS ref_idx,
+       unnest(r) AS ref
+FROM refs""",
+)
+def multiref_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 under an oracle: (src, trg) reference pairs synthesized from
+    doc_id arithmetic go through the REAL multi-reference file sink
+    (operators/misc.py:write_multi_ref_files — sorted refs exploded to
+    reference{j} partitions, webnlg_gcnonmt_input.py:239-248), the
+    partitioned files are read back, and the oracle recomputes the
+    sorted positional layout in SQL. Ragged ref counts (1-3 per src)
+    prove the missing-row convention for short groups survives the
+    file round trip."""
+    import shutil
+    import tempfile
+
+    from .operators.misc import write_multi_ref_files
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pairs = docs.select(
+        F.concat(F.lit("doc"), did.cast("string")).alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (did % 3).cast("int")),
+                lambda j: F.concat(
+                    F.lit("ref "), ((did * 13 + j * 7) % 97).cast("string")
+                ),
+            )
+        ).alias("trg"),
+    )
+    work = tempfile.mkdtemp(prefix="multiref_")
+    try:
+        write_multi_ref_files(pairs, f"{work}/refs")
+        out = (
+            spark.read.parquet(f"{work}/refs")
+            .select("src", F.col("ref_idx").cast("int"), "ref")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "src string, ref_idx int, ref string")
+
+
+@_register_extra(
+    "aligned_lines_roundtrip",
+    """SELECT CAST(doc_id + 1 AS INT) AS line_id,
+       's' || (doc_id % 50) || ' | p' || (doc_id % 11) AS triple,
+       'lex for ' || doc_id AS lex
+FROM documents""",
+)
+def aligned_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J1 under an oracle: the aligned .triple/.lex line files are
+    synthesized from doc_id arithmetic (one single-split text file
+    each, doc_id order), read back through the REAL zip-join reader
+    (sources/readers.py:read_aligned_lines — row_number over a
+    monotonic id on each side, joined on line number), and the oracle
+    recomputes (line_id, triple, lex) directly. Pins the 1-based line
+    numbering and the positional alignment contract."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_aligned_lines
+
+    docs = _docs(spark, sf_dir).orderBy("doc_id")
+    did = F.col("doc_id")
+    work = tempfile.mkdtemp(prefix="aligned_")
+    try:
+        docs.select(
+            F.concat(
+                F.lit("s"), (did % 50).cast("string"),
+                F.lit(" | p"), (did % 11).cast("string"),
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(f"{work}/t")
+        docs.select(
+            F.concat(F.lit("lex for "), did.cast("string")).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(f"{work}/l")
+        out = (
+            read_aligned_lines(spark, f"{work}/t", f"{work}/l")
+            .select(F.col("line_id").cast("int"), "triple", "lex")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "line_id int, triple string, lex string")
