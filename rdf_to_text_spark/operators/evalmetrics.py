@@ -638,16 +638,40 @@ def _meteor_align_beam(
     return m, min(best_chunks, _meteor_align_py(htoks, rtoks)[1])
 
 
-def _meteor_score_frac(m: int, chunks: int, hl: int, rl: int):
+def _meteor_score_frac(m: int, chunks: int, hl: int, rl: int, m_stem: int = 0):
     """Exact rational METEOR score: Fmean·(1−penalty) with
-    Fmean = 10PR/(R+9P) = 10m/(hl+9rl) and penalty = ½(chunks/m)³
-    ⇒ score = 10m(2m³−c³) / (2m³(hl+9rl)). Fractions keep best-ref
-    selection deterministic across platforms — no float boundary."""
+    Fmean = 10PR/(R+9P) = 10m_w/(hl+9rl) and penalty = ½(chunks/m)³
+    ⇒ score = 10·m_w·(2m³−c³) / (2m³(hl+9rl)). Fractions keep best-ref
+    selection deterministic across platforms — no float boundary.
+
+    METEOR 1.5's module weights enter through m_w = m_exact + 0.6·m_stem
+    = m − (2/5)·m_stem (weighted precision/recall numerator, exact as
+    Fraction); the fragmentation penalty stays on the UNWEIGHTED match
+    count m, matching the tool. m_stem = 0 reduces to the paper score.
+    """
     from fractions import Fraction
 
     if m == 0 or hl == 0 or rl == 0:
         return Fraction(0)
-    return Fraction(10 * m * (2 * m**3 - chunks**3), 2 * m**3 * (hl + 9 * rl))
+    m_w = Fraction(5 * m - 2 * m_stem, 5)
+    return (
+        10 * m_w * (2 * m**3 - chunks**3)
+        / Fraction(2 * m**3 * (hl + 9 * rl))
+    )
+
+
+def _exact_match_count(htoks: list, rtoks: list) -> int:
+    """Σ_t min(cnt_hyp(t), cnt_ref(t)) over EXACT token types — the
+    exact-module match count. Invariant across maximum matchings (the
+    exact stage's per-type counts are forced), so the exact/stem split
+    of m needs no alignment bookkeeping: m_stem = m − this."""
+    hcnt: dict = {}
+    for t in htoks:
+        hcnt[t] = hcnt.get(t, 0) + 1
+    rcnt: dict = {}
+    for t in rtoks:
+        rcnt[t] = rcnt.get(t, 0) + 1
+    return sum(min(c, rcnt.get(t, 0)) for t, c in hcnt.items())
 
 
 def meteor_stats(
@@ -719,6 +743,7 @@ def meteor_stats(
         [
             StructField("id", LongType()),
             StructField("m", IntegerType()),
+            StructField("m_stem", IntegerType()),
             StructField("chunks", IntegerType()),
             StructField("hyp_len", IntegerType()),
             StructField("ref_len", IntegerType()),
@@ -739,17 +764,20 @@ def meteor_stats(
                 for rt in rls:
                     rtoks = list(rt)
                     m, c = align(htoks, rtoks)
-                    score = _meteor_score_frac(m, c, hl, len(rtoks))
+                    # exact/stem split is alignment-invariant (forced
+                    # per-type counts) — no bookkeeping in the aligner
+                    ms = m - _exact_match_count(htoks, rtoks) if stem_match else 0
+                    score = _meteor_score_frac(m, c, hl, len(rtoks), m_stem=ms)
                     key = (
                         -score,
                         len(rtoks),
                         hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
                     )
                     if best is None or key < best[0]:
-                        best = (key, (m, c, hl, len(rtoks)))
+                        best = (key, (m, ms, c, hl, len(rtoks)))
                 rows.append((int(i), *best[1]))
             yield pd.DataFrame(
-                rows, columns=["id", "m", "chunks", "hyp_len", "ref_len"]
+                rows, columns=["id", "m", "m_stem", "chunks", "hyp_len", "ref_len"]
             )
 
     return grouped.mapInPandas(run, schema)
@@ -761,23 +789,35 @@ def corpus_meteor(
     id_col: str = "id",
     hyp_col: str = "hyp",
     ref_col: str = "ref",
+    minimize_chunks: bool = False,
+    stem_match: bool = False,
 ) -> DataFrame:
     """One-row corpus METEOR analog from summed per-sentence stats
-    (the tool's system-level aggregation): P = M/HL, R = M/RL,
-    Fmean = 10PR/(R+9P), penalty = ½(C/M)³."""
-    per = meteor_stats(hyps, refs, id_col, hyp_col, ref_col)
+    (the tool's system-level aggregation): P = M_w/HL, R = M_w/RL,
+    Fmean = 10PR/(R+9P), penalty = ½(C/M)³. With stem matching,
+    M_w = M − 0.4·M_stem applies METEOR 1.5's module weights
+    (exact 1.0, stem 0.6) in the Fmean numerator while the penalty
+    stays on the unweighted match count, matching the tool; without
+    it M_stem = 0 and this is exactly the paper formula."""
+    per = meteor_stats(
+        hyps, refs, id_col, hyp_col, ref_col,
+        minimize_chunks=minimize_chunks, stem_match=stem_match,
+    )
     agg = per.agg(
         F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(F.sum("m_stem"), F.lit(0)).cast("long").alias("m_stem"),
         F.coalesce(F.sum("chunks"), F.lit(0)).cast("long").alias("chunks"),
         F.coalesce(F.sum("hyp_len"), F.lit(0)).cast("long").alias("hyp_len"),
         F.coalesce(F.sum("ref_len"), F.lit(0)).cast("long").alias("ref_len"),
     )
     m, c = F.col("m"), F.col("chunks")
-    fmean = 10 * m / (F.col("hyp_len") + 9 * F.col("ref_len"))
+    m_w = m - 0.4 * F.col("m_stem")
+    fmean = 10 * m_w / (F.col("hyp_len") + 9 * F.col("ref_len"))
     pen = 0.5 * F.pow(c / m, F.lit(3))
     return agg.select(
         F.when(m > 0, (fmean * (1 - pen))).otherwise(F.lit(0.0)).alias("meteor"),
         "m",
+        "m_stem",
         "chunks",
         "hyp_len",
         "ref_len",
@@ -793,7 +833,7 @@ def meteor_py(
     """Pure-python twin of meteor_stats/corpus_meteor (unit-test spec)."""
     import hashlib
 
-    M = C = HL = RL = 0
+    M = MS = C = HL = RL = 0
     for hyp, rlist in zip(hyps, refs):
         htoks = hyp.split()
         best = None
@@ -803,18 +843,22 @@ def meteor_py(
                 m, c = _meteor_align_beam(htoks, rtoks, stem=stem_match)
             else:
                 m, c = _meteor_align_py(htoks, rtoks, stem=stem_match)
-            score = _meteor_score_frac(m, c, len(htoks), len(rtoks))
+            ms = m - _exact_match_count(htoks, rtoks) if stem_match else 0
+            score = _meteor_score_frac(m, c, len(htoks), len(rtoks), m_stem=ms)
             key = (
                 -score,
                 len(rtoks),
                 hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
             )
             if best is None or key < best[0]:
-                best = (key, (m, c, len(htoks), len(rtoks)))
-        m, c, hl, rl = best[1]
-        M, C, HL, RL = M + m, C + c, HL + hl, RL + rl
-    meteor = (10 * M / (HL + 9 * RL)) * (1 - 0.5 * (C / M) ** 3) if M else 0.0
-    return {"meteor": meteor, "m": M, "chunks": C, "hyp_len": HL, "ref_len": RL}
+                best = (key, (m, ms, c, len(htoks), len(rtoks)))
+        m, ms, c, hl, rl = best[1]
+        M, MS, C, HL, RL = M + m, MS + ms, C + c, HL + hl, RL + rl
+    meteor = (
+        (10 * (M - 0.4 * MS) / (HL + 9 * RL)) * (1 - 0.5 * (C / M) ** 3) if M else 0.0
+    )
+    return {"meteor": meteor, "m": M, "m_stem": MS, "chunks": C,
+            "hyp_len": HL, "ref_len": RL}
 
 
 # ------------------------------------------------------------ pure-python twin

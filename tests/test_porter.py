@@ -109,3 +109,35 @@ def test_stem_beam_combines_with_chunk_minimization(spark):
     rdf = spark.createDataFrame([(0, "walked cat runs")], "id long, ref string")
     row = meteor_stats(hdf, rdf, minimize_chunks=True, stem_match=True).collect()[0]
     assert row.m == 3  # every token stem-matches
+
+
+def test_meteor_module_weights_enter_score_not_penalty(spark):
+    """METEOR 1.5 module weights: stem matches count 0.6 in the Fmean
+    numerator (M_w = M - 0.4*M_stem) while the fragmentation penalty
+    keeps the unweighted M — and the exact path (m_stem = 0) is the
+    paper formula unchanged."""
+    from fractions import Fraction
+
+    from rdf_to_text_spark.operators.evalmetrics import (
+        _meteor_score_frac,
+        corpus_meteor,
+    )
+
+    # hand case: m=3 of which 2 stem matches, chunks=2, hl=rl=4
+    w = _meteor_score_frac(3, 2, 4, 4, m_stem=2)
+    unw = _meteor_score_frac(3, 2, 4, 4)
+    assert w == unw * Fraction(5 * 3 - 2 * 2, 5 * 3)  # scale by m_w/m
+    assert _meteor_score_frac(3, 2, 4, 4, m_stem=0) == unw
+
+    hyps = ["the runner was running fast"]
+    refs = [["the runners run fast"]]
+    hdf = spark.createDataFrame([(0, hyps[0])], "id long, hyp string")
+    rdf = spark.createDataFrame([(0, refs[0][0])], "id long, ref string")
+    row = corpus_meteor(hdf, rdf, stem_match=True).collect()[0]
+    want = meteor_py(hyps, refs, stem_match=True)
+    assert (row.m, row.m_stem, row.chunks) == (want["m"], want["m_stem"], want["chunks"])
+    assert abs(row.meteor - want["meteor"]) < 1e-12
+    assert row.m_stem == 2  # runner~runners, running~run
+    # weighted score sits strictly below the unweighted-analog score
+    base = corpus_meteor(hdf, rdf).collect()[0]
+    assert base.m_stem == 0
