@@ -24,7 +24,7 @@ cardinality, uniform, no skew handling needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -500,25 +500,31 @@ def ter_py(hyps: list[str], refs: list[list[str]], shifts: bool = False) -> dict
 
 # ============================================================== METEOR analog
 def _meteor_align_py(
-    htoks: list, rtoks: list, stem: bool = False
-) -> tuple[int, int]:
-    """(m, chunks) under RANK-PAIRED matching: within each stage, the
-    k-th occurrence of a key in the hypothesis matches the k-th
-    occurrence in the reference, so per stage m = Σ_key min counts — a
-    true maximum matching on that stage's residual. chunks = matched
-    pairs (i, j) whose predecessor (i-1, j-1) is NOT matched (runs
-    consecutive in BOTH strings), counted over ALL stages' pairs.
+    htoks: list, rtoks: list, stem: bool = False, syn: dict | None = None
+) -> tuple[int, int, int, int]:
+    """(m, chunks, m_stem, m_syn) under RANK-PAIRED matching: within
+    each stage, the k-th occurrence of a key in the hypothesis matches
+    the k-th occurrence in the reference, so per stage m = Σ_key min
+    counts — a true maximum matching on that stage's residual. chunks =
+    matched pairs (i, j) whose predecessor (i-1, j-1) is NOT matched
+    (runs consecutive in BOTH strings), counted over ALL stages' pairs.
 
     Stages mirror METEOR 1.5's module order: exact match first; with
     ``stem=True``, a second pass matches the RESIDUAL (still-unmatched)
     tokens by equal Porter stem (functions/porter.py — the published
-    algorithm, no external data). Simplifications vs the METEOR tool,
-    stated plainly: the WordNet synonym module is out of scope (its
-    data ships with the tool, not this container); module weights are
-    not modeled (METEOR 1.5 weights stem matches 0.6 in weighted P/R —
-    here every match counts 1, so stem matching can only raise m);
-    chunk minimization is the separate ``minimize_chunks`` path.
-    m, P, R and the score formula are the paper's.
+    algorithm, no external data); with ``syn`` (a word → synonym-class
+    mapping), a third pass matches the remaining residual by equal
+    synonym class. The synonym ANALOG vs METEOR's WordNet module,
+    stated plainly: WordNet's "share any synset" relation is not an
+    equivalence (a word can sit in several synsets), so this models the
+    common canonicalized form — a user-supplied word → class table
+    (class = e.g. a chosen synset head). The WordNet DATA itself ships
+    with the tool, not this container; callers bring their own mapping.
+    Module weights (exact 1.0 / stem 0.6 / synonym 0.8) enter the score
+    through the (m_stem, m_syn) split returned here — see
+    :func:`_meteor_score_frac`. Chunk minimization is the separate
+    ``minimize_chunks`` path. m, P, R and the score formula are the
+    paper's.
     """
     pairs: list = []
     used_h: set = set()
@@ -545,17 +551,32 @@ def _meteor_align_py(
                 seen[k] = cnt + 1
 
     stage(lambda t: t)
+    m_exact = len(pairs)
+    m_stem = 0
     if stem:
         from ..functions.porter import porter_stem
 
         stage(lambda t: porter_stem(t.lower()))
+        m_stem = len(pairs) - m_exact
+    m_syn = 0
+    if syn:
+        # unmapped tokens get a per-token sentinel class that cannot
+        # collide with any user class (tuple tag) and cannot create new
+        # exact matches (identical residual tokens have no partner left:
+        # the exact stage already consumed min counts per type)
+        stage(lambda t: syn.get(t, ("\x00tok", t)))
+        m_syn = len(pairs) - m_exact - m_stem
     pairset = set(pairs)
     chunks = sum(1 for (i, j) in pairs if (i - 1, j - 1) not in pairset)
-    return len(pairs), chunks
+    return len(pairs), chunks, m_stem, m_syn
 
 
 def _meteor_align_beam(
-    htoks: list, rtoks: list, beam: int = 20, stem: bool = False
+    htoks: list,
+    rtoks: list,
+    beam: int = 20,
+    stem: bool = False,
+    syn: dict | None = None,
 ) -> tuple[int, int]:
     """(m, chunks) under a CHUNK-MINIMIZING maximum matching, found by
     beam search over alternative maximum matchings — the strategy
@@ -565,13 +586,20 @@ def _meteor_align_beam(
     chunks vs the rank-paired alignment (:func:`_meteor_align_py`).
 
     With ``stem`` the matching key is the Porter stem class instead of
-    the exact token. Stem equality is an equivalence relation that
-    SUBSUMES exact equality (equal tokens have equal stems), so the
-    match graph is a union of complete bipartite blocks per stem class
+    the exact token; with ``syn`` (word → synonym class) it is the
+    synonym class where mapped, else the token itself. Either key is an
+    equivalence relation that SUBSUMES exact equality (equal tokens
+    have equal stems; equal tokens share their class-or-token key), so
+    the match graph is a union of complete bipartite blocks per class
     and the maximum matching size is Σ_class min counts — exactly what
-    the two-stage (exact, then stem-on-residual) rank pairing achieves;
-    the beam then minimizes chunks over those maximum matchings. The
-    unweighted-analog caveat of :func:`_meteor_align_py` applies.
+    the staged (exact, then class-on-residual) rank pairing achieves;
+    the beam then minimizes chunks over those maximum matchings.
+    ``stem`` and ``syn`` TOGETHER are not supported here (composing the
+    two classes is not an equivalence consistent with METEOR's module
+    priority) — use the staged rank-paired aligner for that; callers
+    raise. The module-weight m split is computed by the caller from the
+    forced per-stage counts (staged module priority), independent of
+    which maximum matching the beam picks.
 
     Search: scan hypothesis positions left→right. State = (used ref
     positions, ref position matched at i-1 or None, chunks so far).
@@ -584,6 +612,10 @@ def _meteor_align_beam(
     minimum, ≤ the rank-paired count (the rank-paired alignment is in
     the initial beam's reachable set on fixtures; asserted ≤ in tests).
     """
+    if stem and syn:
+        raise ValueError(
+            "chunk-minimizing beam supports stem_match OR synonyms, not both"
+        )
     if stem:
         from ..functions.porter import porter_stem
 
@@ -597,6 +629,11 @@ def _meteor_align_beam(
 
         htoks = [kf(t) for t in htoks]
         rtoks = [kf(t) for t in rtoks]
+    elif syn:
+        # class-or-token key; tuple tags keep user classes and raw
+        # tokens in disjoint namespaces
+        htoks = [syn.get(t, ("\x00tok", t)) for t in htoks]
+        rtoks = [syn.get(t, ("\x00tok", t)) for t in rtoks]
     rpos: dict = {}
     for j, t in enumerate(rtoks):
         rpos.setdefault(t, []).append(j)
@@ -638,22 +675,26 @@ def _meteor_align_beam(
     return m, min(best_chunks, _meteor_align_py(htoks, rtoks)[1])
 
 
-def _meteor_score_frac(m: int, chunks: int, hl: int, rl: int, m_stem: int = 0):
+def _meteor_score_frac(
+    m: int, chunks: int, hl: int, rl: int, m_stem: int = 0, m_syn: int = 0
+):
     """Exact rational METEOR score: Fmean·(1−penalty) with
     Fmean = 10PR/(R+9P) = 10m_w/(hl+9rl) and penalty = ½(chunks/m)³
     ⇒ score = 10·m_w·(2m³−c³) / (2m³(hl+9rl)). Fractions keep best-ref
     selection deterministic across platforms — no float boundary.
 
-    METEOR 1.5's module weights enter through m_w = m_exact + 0.6·m_stem
-    = m − (2/5)·m_stem (weighted precision/recall numerator, exact as
-    Fraction); the fragmentation penalty stays on the UNWEIGHTED match
-    count m, matching the tool. m_stem = 0 reduces to the paper score.
+    METEOR 1.5's module weights (exact 1.0, stem 0.6, synonym 0.8)
+    enter through m_w = m_exact + 0.6·m_stem + 0.8·m_syn
+    = m − (2/5)·m_stem − (1/5)·m_syn (weighted precision/recall
+    numerator, exact as Fraction); the fragmentation penalty stays on
+    the UNWEIGHTED match count m, matching the tool. m_stem = m_syn = 0
+    reduces to the paper score.
     """
     from fractions import Fraction
 
     if m == 0 or hl == 0 or rl == 0:
         return Fraction(0)
-    m_w = Fraction(5 * m - 2 * m_stem, 5)
+    m_w = Fraction(5 * m - 2 * m_stem - m_syn, 5)
     return (
         10 * m_w * (2 * m**3 - chunks**3)
         / Fraction(2 * m**3 * (hl + 9 * rl))
@@ -683,9 +724,10 @@ def meteor_stats(
     minimize_chunks: bool = False,
     beam: int = 20,
     stem_match: bool = False,
+    synonyms: "DataFrame | dict | None" = None,
 ) -> DataFrame:
     """Per-sentence METEOR-analog integer stats against the BEST
-    reference: (id, m, chunks, hyp_len, ref_len).
+    reference: (id, m, m_stem, m_syn, chunks, hyp_len, ref_len).
 
     Completes the reference's 3-metric eval gate (BLEU/METEOR/TER,
     `webnlg_eval_scripts/metrics.py:4-56`; METEOR via meteor-1.5.jar)
@@ -695,8 +737,18 @@ def meteor_stats(
     :func:`_meteor_align_beam` (METEOR 1.5's own stage — m unchanged,
     chunks ≤ the rank-paired count); with ``stem_match`` a second
     matching stage pairs residual tokens by equal Porter stem
-    (functions/porter.py — METEOR's stem module; the data-dependent
-    WordNet synonym module stays out of scope). Best-ref = max exact rational
+    (functions/porter.py — METEOR's stem module); with ``synonyms`` a
+    third stage pairs the remaining residual by equal synonym class —
+    the analog of METEOR's WordNet module with the user bringing the
+    data (the WordNet files ship with the tool, not this container).
+    ``synonyms`` is a word → class mapping: a plain dict, or a 2-column
+    (word, class) DataFrame that is DICTIONARY-SIZED by contract — it
+    is collected and broadcast like the vocab/alias dictionaries (S5),
+    not joined; pass a dict directly when the caller already holds one.
+    ``minimize_chunks`` composes with ONE of stem/synonyms (the beam's
+    class key must stay a single equivalence; both together raise
+    ValueError — use the staged rank-paired aligner for 3 modules).
+    Best-ref = max exact rational
     score; ties → shorter ref, then md5 of the joined ref string — a
     collation-free total order (W2), identical on any engine/locale.
 
@@ -744,17 +796,33 @@ def meteor_stats(
             StructField("id", LongType()),
             StructField("m", IntegerType()),
             StructField("m_stem", IntegerType()),
+            StructField("m_syn", IntegerType()),
             StructField("chunks", IntegerType()),
             StructField("hyp_len", IntegerType()),
             StructField("ref_len", IntegerType()),
         ]
     )
-    if minimize_chunks:
-        align = lambda ht, rt: _meteor_align_beam(ht, rt, beam, stem=stem_match)  # noqa: E731
+    if minimize_chunks and stem_match and synonyms is not None:
+        raise ValueError(
+            "minimize_chunks composes with stem_match OR synonyms, not both"
+        )
+    if synonyms is None:
+        syn_bc = None
     else:
-        align = lambda ht, rt: _meteor_align_py(ht, rt, stem=stem_match)  # noqa: E731
+        if isinstance(synonyms, DataFrame):
+            # dictionary-sized by contract (docstring): collected and
+            # broadcast exactly like the S5 alias/vocab dictionaries
+            cols = synonyms.columns
+            syn_dict = {
+                r[0]: r[1] for r in synonyms.select(cols[0], cols[1]).collect()
+            }
+        else:
+            syn_dict = dict(synonyms)
+        spark = SparkSession.getActiveSession()
+        syn_bc = spark.sparkContext.broadcast(syn_dict)
 
     def run(batches):
+        syn = syn_bc.value if syn_bc is not None else None
         for pdf in batches:
             rows = []
             for i, hh, rls in zip(pdf["id"], pdf["htoks"], pdf["rlists"]):
@@ -763,21 +831,33 @@ def meteor_stats(
                 best = None
                 for rt in rls:
                     rtoks = list(rt)
-                    m, c = align(htoks, rtoks)
-                    # exact/stem split is alignment-invariant (forced
-                    # per-type counts) — no bookkeeping in the aligner
-                    ms = m - _exact_match_count(htoks, rtoks) if stem_match else 0
-                    score = _meteor_score_frac(m, c, hl, len(rtoks), m_stem=ms)
+                    if minimize_chunks:
+                        m, c = _meteor_align_beam(
+                            htoks, rtoks, beam, stem=stem_match, syn=syn
+                        )
+                        # split is forced per stage (exact counts are
+                        # per-type mins; one non-exact module only)
+                        me = _exact_match_count(htoks, rtoks)
+                        ms = m - me if stem_match else 0
+                        msy = m - me if syn else 0
+                    else:
+                        m, c, ms, msy = _meteor_align_py(
+                            htoks, rtoks, stem=stem_match, syn=syn
+                        )
+                    score = _meteor_score_frac(
+                        m, c, hl, len(rtoks), m_stem=ms, m_syn=msy
+                    )
                     key = (
                         -score,
                         len(rtoks),
                         hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
                     )
                     if best is None or key < best[0]:
-                        best = (key, (m, ms, c, hl, len(rtoks)))
+                        best = (key, (m, ms, msy, c, hl, len(rtoks)))
                 rows.append((int(i), *best[1]))
             yield pd.DataFrame(
-                rows, columns=["id", "m", "m_stem", "chunks", "hyp_len", "ref_len"]
+                rows,
+                columns=["id", "m", "m_stem", "m_syn", "chunks", "hyp_len", "ref_len"],
             )
 
     return grouped.mapInPandas(run, schema)
@@ -791,33 +871,38 @@ def corpus_meteor(
     ref_col: str = "ref",
     minimize_chunks: bool = False,
     stem_match: bool = False,
+    synonyms: "DataFrame | dict | None" = None,
 ) -> DataFrame:
     """One-row corpus METEOR analog from summed per-sentence stats
     (the tool's system-level aggregation): P = M_w/HL, R = M_w/RL,
-    Fmean = 10PR/(R+9P), penalty = ½(C/M)³. With stem matching,
-    M_w = M − 0.4·M_stem applies METEOR 1.5's module weights
-    (exact 1.0, stem 0.6) in the Fmean numerator while the penalty
-    stays on the unweighted match count, matching the tool; without
-    it M_stem = 0 and this is exactly the paper formula."""
+    Fmean = 10PR/(R+9P), penalty = ½(C/M)³. With stem/synonym matching,
+    M_w = M − 0.4·M_stem − 0.2·M_syn applies METEOR 1.5's module
+    weights (exact 1.0, stem 0.6, synonym 0.8) in the Fmean numerator
+    while the penalty stays on the unweighted match count, matching the
+    tool; without them M_stem = M_syn = 0 and this is exactly the paper
+    formula."""
     per = meteor_stats(
         hyps, refs, id_col, hyp_col, ref_col,
         minimize_chunks=minimize_chunks, stem_match=stem_match,
+        synonyms=synonyms,
     )
     agg = per.agg(
         F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("m"),
         F.coalesce(F.sum("m_stem"), F.lit(0)).cast("long").alias("m_stem"),
+        F.coalesce(F.sum("m_syn"), F.lit(0)).cast("long").alias("m_syn"),
         F.coalesce(F.sum("chunks"), F.lit(0)).cast("long").alias("chunks"),
         F.coalesce(F.sum("hyp_len"), F.lit(0)).cast("long").alias("hyp_len"),
         F.coalesce(F.sum("ref_len"), F.lit(0)).cast("long").alias("ref_len"),
     )
     m, c = F.col("m"), F.col("chunks")
-    m_w = m - 0.4 * F.col("m_stem")
+    m_w = m - 0.4 * F.col("m_stem") - 0.2 * F.col("m_syn")
     fmean = 10 * m_w / (F.col("hyp_len") + 9 * F.col("ref_len"))
     pen = 0.5 * F.pow(c / m, F.lit(3))
     return agg.select(
         F.when(m > 0, (fmean * (1 - pen))).otherwise(F.lit(0.0)).alias("meteor"),
         "m",
         "m_stem",
+        "m_syn",
         "chunks",
         "hyp_len",
         "ref_len",
@@ -829,35 +914,48 @@ def meteor_py(
     refs: list[list[str]],
     minimize_chunks: bool = False,
     stem_match: bool = False,
+    synonyms: dict | None = None,
 ) -> dict:
     """Pure-python twin of meteor_stats/corpus_meteor (unit-test spec)."""
     import hashlib
 
-    M = MS = C = HL = RL = 0
+    M = MS = MSY = C = HL = RL = 0
     for hyp, rlist in zip(hyps, refs):
         htoks = hyp.split()
         best = None
         for rf in rlist:
             rtoks = rf.split()
             if minimize_chunks:
-                m, c = _meteor_align_beam(htoks, rtoks, stem=stem_match)
+                m, c = _meteor_align_beam(
+                    htoks, rtoks, stem=stem_match, syn=synonyms
+                )
+                me = _exact_match_count(htoks, rtoks)
+                ms = m - me if stem_match else 0
+                msy = m - me if synonyms else 0
             else:
-                m, c = _meteor_align_py(htoks, rtoks, stem=stem_match)
-            ms = m - _exact_match_count(htoks, rtoks) if stem_match else 0
-            score = _meteor_score_frac(m, c, len(htoks), len(rtoks), m_stem=ms)
+                m, c, ms, msy = _meteor_align_py(
+                    htoks, rtoks, stem=stem_match, syn=synonyms
+                )
+            score = _meteor_score_frac(
+                m, c, len(htoks), len(rtoks), m_stem=ms, m_syn=msy
+            )
             key = (
                 -score,
                 len(rtoks),
                 hashlib.md5(" ".join(rtoks).encode("utf-8")).hexdigest(),
             )
             if best is None or key < best[0]:
-                best = (key, (m, ms, c, len(htoks), len(rtoks)))
-        m, ms, c, hl, rl = best[1]
-        M, MS, C, HL, RL = M + m, MS + ms, C + c, HL + hl, RL + rl
+                best = (key, (m, ms, msy, c, len(htoks), len(rtoks)))
+        m, ms, msy, c, hl, rl = best[1]
+        M, MS, MSY = M + m, MS + ms, MSY + msy
+        C, HL, RL = C + c, HL + hl, RL + rl
     meteor = (
-        (10 * (M - 0.4 * MS) / (HL + 9 * RL)) * (1 - 0.5 * (C / M) ** 3) if M else 0.0
+        (10 * (M - 0.4 * MS - 0.2 * MSY) / (HL + 9 * RL))
+        * (1 - 0.5 * (C / M) ** 3)
+        if M
+        else 0.0
     )
-    return {"meteor": meteor, "m": M, "m_stem": MS, "chunks": C,
+    return {"meteor": meteor, "m": M, "m_stem": MS, "m_syn": MSY, "chunks": C,
             "hyp_len": HL, "ref_len": RL}
 
 

@@ -1771,6 +1771,100 @@ def eval_meteor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "eval_meteor_synonyms",
+    r"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+hyp AS (SELECT doc_id, toks FROM docs),
+ref AS (  -- deletion ref: drop 1-based positions ≡ 1 (mod 7)
+  SELECT doc_id, list_filter(toks, (x, i) -> i % 7 != 1) AS r FROM docs
+),
+hp AS (  -- BASE-token occurrences with per-token rank (the engine only
+         -- ever sees the suffixed surfaces; equality here is reachable
+         -- solely through its synonym-class stage)
+  SELECT doc_id, toks[i] AS t, i,
+         row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i) AS rnk
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM hyp)
+),
+rp AS (
+  SELECT doc_id, r[j] AS t, j,
+         row_number() OVER (PARTITION BY doc_id, r[j] ORDER BY j) AS rnk
+  FROM (SELECT doc_id, r, generate_subscripts(r, 1) AS j FROM ref)
+),
+pairs AS (  -- rank-paired class matching (k-th occ ↔ k-th occ)
+  SELECT hp.doc_id, hp.i, rp.j
+  FROM hp JOIN rp ON rp.doc_id = hp.doc_id AND rp.t = hp.t AND rp.rnk = hp.rnk
+),
+stats AS (
+  SELECT p.doc_id, count(*) AS m,
+         sum(CASE WHEN p2.i IS NULL THEN 1 ELSE 0 END) AS chunks
+  FROM pairs p
+  LEFT JOIN pairs p2
+    ON p2.doc_id = p.doc_id AND p2.i = p.i - 1 AND p2.j = p.j - 1
+  GROUP BY 1
+)
+SELECT CAST(h.doc_id AS BIGINT) AS id,
+       CAST(coalesce(s.m, 0) AS INT) AS m,
+       CAST(coalesce(s.m, 0) AS INT) AS m_syn,
+       CAST(coalesce(s.chunks, 0) AS INT) AS chunks,
+       CAST(len(h.toks) AS INT) AS hyp_len,
+       CAST(len(rf.r) AS INT) AS ref_len
+FROM hyp h
+JOIN ref rf ON rf.doc_id = h.doc_id
+LEFT JOIN stats s ON s.doc_id = h.doc_id""",
+)
+def eval_meteor_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METEOR synonym-module analog under an oracle that isolates it:
+    hypothesis tokens carry an `_h` suffix and reference tokens an `_r`
+    suffix, so the EXACT stage provably matches nothing (every surface
+    differs) and the whole alignment must flow through the synonym
+    stage — a word → class table mapping both suffixed forms to the
+    base token (meteor_stats(synonyms=...), the user-supplied analog
+    of meteor-1.5.jar's WordNet module; operators/evalmetrics.py).
+    The DuckDB replay knows nothing of suffixes or classes: it
+    rank-pairs the BASE tokens, which is the ground-truth synonym-class
+    matching because stripping the uniform 2-char suffix is exactly the
+    class function. m_syn must equal m — any dict-plumbing, stage-order
+    or residual bug breaks the hash. The synonym table is built as a
+    dictionary-sized DataFrame from the distinct corpus tokens
+    (collected + broadcast by meteor_stats per its S5-style contract)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks"))
+    hyps = base.select(
+        "id",
+        F.concat_ws(
+            " ", F.transform("toks", lambda x: F.concat(x, F.lit("_h")))
+        ).alias("hyp"),
+    )
+    refs = base.select(
+        "id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter("toks", lambda x, i: (i % 7) != F.lit(0)),
+                lambda x: F.concat(x, F.lit("_r")),
+            ),
+        ).alias("ref"),
+    )
+    vocab = base.select(F.explode("toks").alias("t")).distinct()
+    synonyms = vocab.select(
+        F.concat("t", F.lit("_h")).alias("word"), F.col("t").alias("cls")
+    ).unionByName(
+        vocab.select(F.concat("t", F.lit("_r")).alias("word"), F.col("t").alias("cls"))
+    )
+    out = evalmetrics.meteor_stats(hyps, refs, synonyms=synonyms)
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("m").cast("int"),
+        F.col("m_syn").cast("int"),
+        F.col("chunks").cast("int"),
+        F.col("hyp_len").cast("int"),
+        F.col("ref_len").cast("int"),
+    )
+
+
+@_register_extra(
     "events_salted_collect",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
        string_agg(event_type, ',' ORDER BY event_type) AS event_types

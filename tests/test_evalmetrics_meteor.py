@@ -52,7 +52,7 @@ def _align_spec(htoks, rtoks):
     ],
 )
 def test_align_directed(h, r, want_m, want_chunks):
-    assert _meteor_align_py(h.split(), r.split()) == (want_m, want_chunks)
+    assert _meteor_align_py(h.split(), r.split()) == (want_m, want_chunks, 0, 0)
 
 
 def test_align_fuzz_vs_spec():
@@ -61,7 +61,7 @@ def test_align_fuzz_vs_spec():
     for _ in range(300):
         h = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
         r = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
-        assert _meteor_align_py(h, r) == _align_spec(h, r), (h, r)
+        assert _meteor_align_py(h, r)[:2] == _align_spec(h, r), (h, r)
 
 
 def test_score_formula_exact():
@@ -136,7 +136,7 @@ def test_beam_reduces_chunks_vs_rank_pairing():
     from rdf_to_text_spark.operators.evalmetrics import _meteor_align_beam
 
     h, r = "a a b".split(), "a b a".split()
-    assert _meteor_align_py(h, r) == (3, 3)
+    assert _meteor_align_py(h, r) == (3, 3, 0, 0)
     assert _meteor_align_beam(h, r) == (3, 2)
 
 
@@ -148,7 +148,7 @@ def test_beam_fuzz_same_m_never_more_chunks():
     for _ in range(150):
         h = [rng.choice(alpha) for _ in range(rng.randint(0, 9))]
         r = [rng.choice(alpha) for _ in range(rng.randint(0, 9))]
-        m_rank, c_rank = _meteor_align_py(h, r)
+        m_rank, c_rank = _meteor_align_py(h, r)[:2]
         m_beam, c_beam = _meteor_align_beam(h, r)
         assert m_beam == m_rank, (h, r)
         assert 0 <= c_beam <= c_rank, (h, r)

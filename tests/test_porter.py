@@ -59,8 +59,8 @@ def test_stem_stage_matches_residual_only():
     # exact matches claim their tokens first; stems only pair leftovers
     h = "the runner was running".split()
     r = "the runners run fast".split()
-    assert _meteor_align_py(h, r) == (1, 1)  # 'the' only
-    m, c = _meteor_align_py(h, r, stem=True)
+    assert _meteor_align_py(h, r) == (1, 1, 0, 0)  # 'the' only
+    m, c, _ms, _msy = _meteor_align_py(h, r, stem=True)
     assert m == 3  # + runner~runners, running~run
     # m is bounded by min lengths and never decreases vs exact
     assert m <= min(len(h), len(r))
@@ -68,7 +68,7 @@ def test_stem_stage_matches_residual_only():
 
 def test_stem_flag_is_noop_when_exact_covers_everything():
     h = "a b c".split()
-    assert _meteor_align_py(h, h, stem=True) == _meteor_align_py(h, h) == (3, 1)
+    assert _meteor_align_py(h, h, stem=True) == _meteor_align_py(h, h) == (3, 1, 0, 0)
 
 
 def test_meteor_stats_stem_spark_matches_twin(spark):
@@ -101,7 +101,7 @@ def test_stem_beam_combines_with_chunk_minimization(spark):
     for _ in range(100):
         h = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
         r = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
-        m1, c1 = _meteor_align_py(h, r, stem=True)
+        m1, c1 = _meteor_align_py(h, r, stem=True)[:2]
         m2, c2 = _meteor_align_beam(h, r, stem=True)
         assert m2 == m1 and c2 <= c1, (h, r)
     # Spark operator accepts both flags together
