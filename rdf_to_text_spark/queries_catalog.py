@@ -2664,6 +2664,124 @@ def tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "tpch_q21_waiting_suppliers",
+    """SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_returnflag = 'R')
+GROUP BY 1""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame self-join — suppliers whose
+    flagged ('R') lineitem is the ONLY flagged one in a multi-supplier
+    finished order (no receipt/commit dates in this schema, so "late"
+    is the per-row returnflag; the STRUCTURE — EXISTS plus NOT EXISTS
+    over the same fact table correlated on the join key — is Q21's).
+    The oracle states it correlated; the engine decorrelates BOTH
+    quantifiers into ONE per-order aggregate pass: EXISTS(other supp)
+    ⟺ countDistinct(supp) > 1 and NOT EXISTS(other flagged supp) ⟺
+    countDistinct(flagged supp) = 1 (l1 itself is flagged, so the sole
+    flagged supplier must be l1's). Scale shape: lineitem shuffles once
+    on l_orderkey for the aggregate and once as the probe side of the
+    orderkey join (co-partitioned — AQE plans a single exchange each);
+    the supplier name lookup broadcasts; no per-quantifier rescan of
+    the fact table, which is what kills the naive plan at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged"),
+    )
+    f_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_flagged") == 1)),
+            "l_orderkey",
+        )
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        blamed.join(F.broadcast(s), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@_register_extra(
+    "tpch_q22_idle_rich_customers",
+    """WITH pos AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    order, grouped by country code (c_nationkey here — this schema has
+    no c_phone; the NOT EXISTS side is priority-filtered because this
+    synthetic corpus gives EVERY customer at least one order, which
+    would make Q22's literal never-ordered predicate vacuously empty).
+    Two decorrelations in one query: the scalar AVG
+    subquery becomes a 1-row aggregate broadcast-cross-joined to every
+    customer, and the NOT EXISTS becomes a LEFT ANTI join on o_custkey.
+    The average threshold is compared CROSS-MULTIPLIED in DECIMAL
+    (bal·cnt > total) so both engines decide boundary customers with
+    exact arithmetic — never through a float average. Scale shape:
+    orders is touched once (anti join, orderkey/custkey columns only);
+    the scalar aggregate is a broadcast; money sums ride DECIMAL(18,2)
+    and only the final report column widens to DOUBLE."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    pos = c.filter(F.col("bal") > 0).agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("bal").alias("total")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("cnt") > F.col("total"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@_register_extra(
     "stream_entity_counts",
     f"""WITH {fixtures.gold_cte()}
 SELECT subj AS entity, CAST(count(*) AS BIGINT) AS total_mentions
