@@ -106,6 +106,34 @@ def minhash_signatures(
     return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
+def band_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket) rows: each signature sliced into `bands`
+    bands of `rows_per_band` rows, each band hashed to one 64-bit
+    bucket (xxhash64 salted with the band index). Narrow — no shuffle;
+    shared verbatim by the batch LSH join (:func:`minhash_lsh_candidates`)
+    and the streaming candidate generator
+    (streaming/dedup_stream.py) so both see identical buckets."""
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"), bidx * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
+                    ),
+                    bidx,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -151,23 +179,7 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k).persist()
     if cleanup is not None:
         cleanup.append(sigs)
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("sig"), bidx * rows_per_band + 1, rows_per_band
-                        ).cast("array<string>"),
-                    ),
-                    bidx,
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(sigs, bands, rows_per_band, id_col)
     bucket_w = Window.partitionBy("band", "bucket")
     kept = (
         banded.withColumn("_bsz", F.count("*").over(bucket_w))
@@ -269,6 +281,35 @@ def minhash_signatures_md5(
     return docs.select(F.col(id_col), sig_udf(hexes).alias("sig"))
 
 
+def band_buckets_md5(
+    sigs: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable twin of :func:`band_buckets`: md5 over the band's
+    comma-joined signature slice prefixed with the band index —
+    SQL-replayable, shared by the batch md5 join and the streaming
+    candidate generator's portable mode."""
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.md5(
+                    F.concat(
+                        bidx.cast("string"),
+                        F.lit(":"),
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), bidx * rows_per_band + 1, rows_per_band
+                            ).cast("array<string>"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates_md5(
     docs: DataFrame,
     text_col: str = "text",
@@ -289,26 +330,7 @@ def minhash_lsh_candidates_md5(
     sigs = minhash_signatures_md5(docs, text_col, id_col, num_perm, shingle_k).persist()
     if cleanup is not None:
         cleanup.append(sigs)
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.md5(
-                    F.concat(
-                        bidx.cast("string"),
-                        F.lit(":"),
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"), bidx * rows_per_band + 1, rows_per_band
-                            ).cast("array<string>"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets_md5(sigs, bands, rows_per_band, id_col)
     bucket_w = Window.partitionBy("band", "bucket")
     kept = (
         banded.withColumn("_bsz", F.count("*").over(bucket_w))

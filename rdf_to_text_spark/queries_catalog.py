@@ -925,6 +925,92 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates_md5(docs, cleanup=_CLEANUPS)
 
 
+@_register_extra(
+    "dedup_minhash_stream",
+    rf"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+  WHERE i <= greatest(len(t) - 2, 1)
+),
+x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x FROM sh),
+ab(k, a, b) AS (VALUES {_minhash_ab_values()}),
+hv AS (
+  SELECT x.doc_id, ab.k,
+         min(CAST((((CAST(ab.a AS HUGEINT) * x.x) % 18446744073709551616
+                    + ab.b) % 18446744073709551616) % 2305843009213693951 AS BIGINT)) AS v
+  FROM x CROSS JOIN ab GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bsig
+  FROM hv GROUP BY doc_id, k // 4
+),
+buck AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || ':' || bsig) AS bucket FROM sig
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b
+FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id""",
+)
+def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup candidates: the MinHash+LSH rung run as a
+    Structured Streaming job (streaming/dedup_stream.py) — documents
+    arrive in micro-batches and each is checked against per-bucket
+    state (applyInPandasWithState keyed on (band, bucket)) instead of a
+    batch self-join. Portable md5 hash family, so the DuckDB oracle
+    replays the ENTIRE streamed candidate set: signatures, banding and
+    the bucket pairing — the same replay as `dedup_minhash_md5_pairs`
+    minus the cap/scoring tail, because the stream emits ids only.
+    Preconditions asserted in-query: ≥2 non-empty micro-batches ran
+    (state genuinely crossed batches) and no bucket exceeded the cap
+    (the prefix-cap vs drop-bucket divergence is unreachable, so
+    stream ≡ batch exactly; max observed bucket on this corpus is 4)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.dedup_stream import stream_minhash_candidates
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    work = tempfile.mkdtemp(prefix="dedup_stream_drv_")
+    qname = f"mh_drv_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.repartition(4, "doc_id").write.parquet(f"{work}/docs")
+        q = stream_minhash_candidates(
+            spark,
+            f"{work}/docs",
+            f"{work}/ckpt",
+            query_name=qname,
+            max_files_per_trigger=2,
+            portable_md5=True,
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        pairs = spark.sql(f"SELECT DISTINCT doc_a, doc_b FROM {qname}").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+    if n_batches < 2:
+        raise RuntimeError("streamed dedup ran in fewer than 2 micro-batches")
+    from .operators.dedup import band_buckets_md5, minhash_signatures_md5
+
+    max_bucket = (
+        band_buckets_md5(minhash_signatures_md5(docs), 16, 4)
+        .groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if max_bucket is not None and max_bucket > 128:
+        raise RuntimeError(f"over-cap bucket ({max_bucket}) — stream≡batch precondition broken")
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
 @_register_extra("dedup_simhash")  # rows-only: xxhash64 not portable SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (zero-shuffle numpy vote over
