@@ -63,15 +63,26 @@ FEATURES_SCHEMA = StructType(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 array, BGR order.
 
-    Real kernel, guarded by format: uncompressed 24-bit BMP decodes in
+    Real kernels, guarded by format: uncompressed 24-bit BMP decodes in
     pure numpy (:func:`decode_bmp` — no codec library needed, exercised
-    end-to-end by the `multimodal_decode_bmp` driver query); any other
+    end-to-end by the `multimodal_decode_bmp` driver query) and PNG
+    decodes through the pure-stdlib zlib + unfilter codec
+    (operators/png.py — all five scanline filters; gray replicated to
+    3 channels, alpha dropped, RGB flipped to BGR here so every format
+    lands in one layout); any other
     format routes through Pillow when importable. Without Pillow a
-    non-BMP payload still raises loudly — codec-compressed formats are
-    not fakeable and nobody should mistake a stub for a decoder.
+    non-BMP/PNG payload still raises loudly — codec-compressed formats
+    are not fakeable and nobody should mistake a stub for a decoder.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        px = decode_png(payload)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, 2::-1].copy()  # RGB(A) → BGR, alpha dropped
     try:
         from io import BytesIO
 

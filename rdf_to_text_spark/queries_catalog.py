@@ -2467,6 +2467,77 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register_extra(
+    "multimodal_decode_png",
+    """WITH d AS (
+  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS w, CAST(1 + doc_id % 3 AS INT) AS h
+  FROM documents WHERE trim(text) <> ''
+),
+px AS (
+  SELECT doc_id, w, h, r1.range AS x, r2.range AS y
+  FROM d, range(0, 4) r1, range(0, 3) r2
+  WHERE r1.range < w AND r2.range < h
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum((1 + x + 7*y) * ((doc_id*7 + y*31 + x*3) % 256)) AS BIGINT) AS wsum_b,
+       CAST(sum((1 + x + 7*y) * ((doc_id*7 + 11 + y*31 + x*3) % 256)) AS BIGINT) AS wsum_g,
+       CAST(sum((1 + x + 7*y) * ((doc_id*7 + 22 + y*31 + x*3) % 256)) AS BIGINT) AS wsum_r
+FROM px GROUP BY doc_id, w, h""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the hash gate — zlib inflate + scanline
+    unfiltering, no Pillow (operators/png.py, routed through
+    decode_image's signature guard). Same pixel arithmetic and
+    position-weighted reduction as `multimodal_decode_bmp` (the
+    container is the variable under test; the oracle never sees bytes),
+    with the BGR channel formula written into an RGB array so the
+    PNG→BGR flip in decode_image is itself pinned. Every document picks
+    scanline filter doc_id % 3 (None/Sub/Up — the encoder's vectorized
+    forward filters), so a third of the corpus exercises each
+    unfiltering path; Average/Paeth are pinned by hand-built streams in
+    tests/test_png.py. No n_bytes column — zlib output length is not a
+    closed form. Two Arrow-batched stages (encode, decode+reduce),
+    payload-bounded."""
+    import pandas as pd
+
+    from .operators import multimodal
+    from .operators.png import encode_png
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    did = F.col("doc_id")
+    dims = docs.select(
+        did.alias("media_id"),
+        (1 + did % 4).cast("int").alias("w"),
+        (1 + did % 3).cast("int").alias("h"),
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                y, x, cr = np.meshgrid(
+                    np.arange(int(h)), np.arange(int(w)), np.arange(3), indexing="ij"
+                )
+                cb = 2 - cr  # BGR formula laid out in RGB channel order
+                a = ((int(mid) * 7 + cb * 11 + y * 31 + x * 3) % 256).astype(np.uint8)
+                payloads.append(encode_png(a, filter_type=int(mid) % 3))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = dims.mapInPandas(build, "media_id long, payload binary")
+    out = multimodal.image_stats(media)
+    return out.select(
+        F.col("media_id").cast("long"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("wsum_b").cast("long"),
+        F.col("wsum_g").cast("long"),
+        F.col("wsum_r").cast("long"),
+    )
+
+
 @_register(
     "kg_cc_scale",
     """WITH c AS (SELECT range AS c FROM range(0, 250)),
