@@ -150,6 +150,9 @@ def main() -> None:
             "tpch_q21_waiting_suppliers",
             "tpch_q22_idle_rich_customers",
             "dedup_minhash_stream",
+            "html_extract_rich",
+            "html_blocks",
+            "kg_extract_triples_rich_html",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

@@ -29,29 +29,32 @@ import time
 
 _MATERIALIZE = """
 import sys
-from rdf_to_text_spark import fixtures
+from rdf_to_text_spark import fixtures, fixtures_web
 from rdf_to_text_spark.session import get_spark
 
-n_docs, path = int(sys.argv[1]), sys.argv[2]
+n_docs, path, mode = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app_name="bench_setup", master="local[32]", shuffle_partitions=32)
-fixtures.pages_from_range(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
+gen = (fixtures_web.rich_pages_from_range if mode == "rich"
+       else fixtures.pages_from_range)
+gen(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
 spark.stop()
 """
 
 
-def materialize_pages(n_docs: int) -> str:
+def materialize_pages(n_docs: int, mode: str = "plain") -> str:
     """Write the pages table in a SUBPROCESS so its JVM (and heap RSS)
     dies before measurement — a lingering gateway JVM in the parent
     evicts the page cache and distorts the timed runs."""
     import subprocess
 
-    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    suffix = "" if mode == "plain" else f"_{mode}"
+    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}{suffix}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     shutil.rmtree(path, ignore_errors=True)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     subprocess.run(
-        [sys.executable, "-c", _MATERIALIZE, str(n_docs), path],
+        [sys.executable, "-c", _MATERIALIZE, str(n_docs), path, mode],
         env=env, timeout=1800, check=True, capture_output=True,
     )
     return path
@@ -60,20 +63,24 @@ def materialize_pages(n_docs: int) -> str:
 _WORKER = """
 import json, sys, time
 from rdf_to_text_spark.pipeline import extract_pipeline
+from rdf_to_text_spark.operators.webtext import extract_triples_from_rich_html
 from rdf_to_text_spark.session import get_spark
 
-cpus, pages_path, n_docs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cpus, pages_path, n_docs, mode = (
+    int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4])
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
 pages = spark.read.parquet(pages_path)
+job = ((lambda df: extract_triples_from_rich_html(df)) if mode == "rich"
+       else (lambda df: extract_pipeline(df, use_html=True)))
 # warmup touches EVERY partition so all Python workers fork+import
 # outside the measured window (sample keeps the work small)
-extract_pipeline(pages.sample(0.02, seed=1), use_html=True).count()
+job(pages.sample(0.02, seed=1)).count()
 # best-of-3: this sandbox shows heavy noisy-neighbor CPU steal (identical
 # runs vary 3x); the minimum wall is the honest capability estimate.
 walls, n_triples = [], 0
 for _ in range(3):
     t0 = time.time()
-    n_triples = extract_pipeline(pages, use_html=True).count()
+    n_triples = job(pages).count()
     walls.append(time.time() - t0)
 wall = min(walls)
 print(json.dumps({"cpus": cpus, "n_docs": n_docs, "n_triples": n_triples,
@@ -84,7 +91,7 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, pages_path: str, n_docs: int) -> dict:
+def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict:
     """Run the measurement in a CPU-pinned subprocess.
 
     ``taskset -c 0-{cpus-1}`` confines the *whole* Spark process tree
@@ -96,7 +103,7 @@ def run_at(cpus: int, pages_path: str, n_docs: int) -> dict:
 
     cmd = [
         "taskset", "-c", f"0-{cpus - 1}",
-        sys.executable, "-c", _WORKER, str(cpus), pages_path, str(n_docs),
+        sys.executable, "-c", _WORKER, str(cpus), pages_path, str(n_docs), mode,
     ]
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
@@ -105,13 +112,15 @@ def run_at(cpus: int, pages_path: str, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    pages_path = materialize_pages(n_docs)
-    r8 = run_at(8, pages_path, n_docs)
-    r32 = run_at(32, pages_path, n_docs)
+    args = [a for a in sys.argv[1:] if a != "--rich"]
+    mode = "rich" if "--rich" in sys.argv[1:] else "plain"
+    n_docs = int(args[0]) if args else 2_000_000
+    pages_path = materialize_pages(n_docs, mode)
+    r8 = run_at(8, pages_path, n_docs, mode)
+    r32 = run_at(32, pages_path, n_docs, mode)
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     out = {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_8_to_32{'_rich' if mode == 'rich' else ''}",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_docs": n_docs,
@@ -119,10 +128,15 @@ def main() -> None:
         "local32": r32,
     }
     print(json.dumps(out))
+    job_desc = (
+        "parquet scan → HTML tokenize → block filter → fused extract"
+        if mode == "rich"
+        else "parquet scan → fused extract"
+    )
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M')}Z, n_docs={n_docs}, "
-            f"parquet scan → fused extract)\n\n"
+            f"{job_desc})\n\n"
             f"| parallelism | wall (s) | docs/sec | triples/sec |\n|---|---|---|---|\n"
             f"| local[8]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['triples_per_sec']} |\n"
             f"| local[32] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['triples_per_sec']} |\n\n"

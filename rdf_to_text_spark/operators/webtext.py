@@ -1,0 +1,128 @@
+"""Web-page operators: tagged block extraction + rich-HTML triple path.
+
+This is the production front end the north_rule describes — real
+Common-Crawl-style pages in, canonical triples out:
+
+  pages(html:binary) ──► blocks (tag-tagged lines)          [html_blocks]
+                     ──► main-content text (tag filter)
+                     ──► normalize ──► template extraction
+                                          [extract_triples_from_rich_html]
+
+Scale shape: both operators are narrow Arrow-batched map stages over the
+page scan — ZERO shuffle, identical to the flagship extraction
+(`operators/extract.py`), so the BENCH.md scaling runs transfer: the
+only cost added per page is the stdlib HTML tokenizer (the irreducible
+cost every CC extraction pipeline pays; cf. trafilatura/resiliparse).
+The `lang = 'en'` gate stays ahead of all Python work and pushes down
+to the parquet/Iceberg scan.
+
+Main-content selection is a *tag filter*, not a model: prose lives in
+``<p>`` blocks, chrome in title/nav/li/footer. That keeps content
+choice declarative (a column predicate users can change per corpus) and
+— crucially for the extraction contract — keeps the anchored template
+regexes (`extract.py:PatternBank`) away from boilerplate tokens that
+would otherwise pollute slot captures.
+
+Reference parity: downstream of text assembly this path is byte-for-byte
+the flagship chain (`webnlg_baseline_input.py:68-97` inversion) — the
+rich query in queries_catalog is checked against the SAME
+`gold_triples_sql` oracle as `kg_extract_triples`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.htmltext import extract_blocks_py
+from ..functions.textnorm import _normalize_series
+from .extract import TRIPLES_SCHEMA, _extract_batch
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("block_idx", LongType()),
+        StructField("tag", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def html_blocks(pages: DataFrame) -> DataFrame:
+    """pages(doc_id, html) → exploded (doc_id, block_idx, tag, text).
+
+    One narrow mapInPandas stage; the explode happens inside the Arrow
+    batch (pandas concat), so no Spark-side explode/shuffle. Rows keep
+    document order via block_idx.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_idx: list[int] = []
+            out_tag: list[str | None] = []
+            out_txt: list[str] = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for i, (tag, line) in enumerate(extract_blocks_py(html)):
+                    out_doc.append(int(doc_id))
+                    out_idx.append(i)
+                    out_tag.append(tag)
+                    out_txt.append(line)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "block_idx": pd.Series(out_idx, dtype="int64"),
+                    "tag": pd.Series(out_tag, dtype="object"),
+                    "text": pd.Series(out_txt, dtype="object"),
+                }
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(run, BLOCKS_SCHEMA)
+
+
+def extract_triples_from_rich_html(
+    pages: DataFrame, content_tags: Sequence[str] = ("p",)
+) -> DataFrame:
+    """pages(doc_id, url, lang, html) → linked triples, fused one stage.
+
+    decode → block extraction → main-content tag filter → join lines →
+    byte-identical normalization → vectorized template extraction, all
+    inside a single Arrow boundary (the `extract_triples_from_html`
+    fusion argument: one Python worker per task, one Arrow round trip).
+    """
+    keep = frozenset(content_tags)
+    gated = pages.filter(F.col("lang") == "en")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                " ".join(
+                    line
+                    for tag, line in extract_blocks_py(html)
+                    if tag in keep
+                )
+                for html in pdf["html"]
+            ]
+            # .to_numpy(): texts has a fresh RangeIndex — never rely on
+            # index alignment against the incoming batch frame
+            batch = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "url": pdf["url"].to_numpy(),
+                    "text": _normalize_series(
+                        pd.Series(texts, dtype="object")
+                    ).to_numpy(),
+                }
+            )
+            yield _extract_batch(batch, "text")
+
+    return gated.select("doc_id", "url", "html").mapInPandas(run, TRIPLES_SCHEMA)

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import fixtures
+from . import fixtures, fixtures_web
 from .operators import delex, dedup, evalmetrics, graph, similarity, text_analysis, vocab
 from .operators.canonicalize import connected_components, first_token_clusters
 from .pipeline import extract_pipeline
@@ -3239,3 +3239,61 @@ def aligned_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(out, "line_id int, triple string, lex string")
+
+
+# ===================================================== web-page front end
+# The input_hint's html:binary column, exercised for real: realistic
+# Common-Crawl-style pages (doctype/head/script/style/nav/entities/
+# inline markup — fixtures_web.render_rich_page_py) through the
+# production HTML→text extractor (functions/htmltext.py). All three
+# oracles are by-construction SQL: they rebuild the EXPECTED output from
+# doc_id arithmetic and never parse HTML.
+
+
+@_register_extra("html_extract_rich", fixtures_web.rich_text_sql())
+def html_extract_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-page text extraction: skip subtrees (script/style/noscript/
+    template/svg), decode entities, block-level line breaks, collapsed
+    whitespace. Narrow Arrow-batched map over the page scan — zero
+    shuffle. Oracle reconstructs the ENTIRE expected text per doc
+    (title + nav + heading + relex-replayed sentences + footer)."""
+    from .functions.htmltext import extract_rich_udf
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "doc_id", extract_rich_udf("html").alias("text")
+    ).withColumn("n_lines", F.size(F.split("text", "\n")).cast("long"))
+
+
+@_register_extra("html_blocks", fixtures_web.rich_blocks_sql())
+def html_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-tagged block extraction (operators/webtext.py:html_blocks):
+    each visible line with the innermost block element that produced it
+    (title/li/h1/p/footer) — the provenance main-content selection keys
+    on. Explode happens inside the Arrow batch; no Spark-side explode."""
+    from .operators.webtext import html_blocks
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return html_blocks(pages)
+
+
+@_register_extra("kg_extract_triples_rich_html", fixtures.gold_triples_sql())
+def kg_extract_triples_rich_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship contract from REALISTIC pages: html → tagged blocks
+    → <p> main-content filter → byte-identical normalize → template
+    extraction, fused in ONE Arrow stage
+    (operators/webtext.py:extract_triples_from_rich_html) — hash-checked
+    against the SAME gold oracle as kg_extract_triples. Proves the
+    boilerplate (nav/title/footer chrome, script/style payloads,
+    entities) contributes zero spurious triples and costs zero misses."""
+    from .operators.webtext import extract_triples_from_rich_html
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    out = extract_triples_from_rich_html(pages)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "subj",
+        "pred",
+        "obj",
+    )

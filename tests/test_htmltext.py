@@ -1,0 +1,231 @@
+"""Production HTML→text extractor (functions/htmltext.py) + rich fixture.
+
+Three layers:
+  * semantics unit tests — each rule of the extraction spec on minimal
+    documents (skip subtrees, entities, inline vs block, malformed);
+  * round-trip — extractor output == the renderer's expected text for a
+    doc_id sweep (the executable spec of fixtures_web);
+  * Spark — the Arrow-batched UDF equals the plain-Python extractor.
+
+The DuckDB oracle side (rich_text_sql) is swept with the driver's own
+compare in tests/test_extra_queries.py via the `html_extract_rich`
+catalog entry; test_oracle_matches_renderer here pins it standalone so
+a fixture edit can't silently drift the two sides apart.
+"""
+
+import duckdb
+
+from rdf_to_text_spark import fixtures_web
+from rdf_to_text_spark.fixtures import gold_triples_py, render_page_py
+from rdf_to_text_spark.functions.htmltext import (
+    extract_blocks_py,
+    extract_rich_udf,
+    extract_text_rich_py,
+)
+from rdf_to_text_spark.operators.webtext import (
+    extract_triples_from_rich_html,
+    html_blocks,
+)
+
+
+def t(html: str) -> str:
+    return extract_text_rich_py(html)
+
+
+# ------------------------------------------------------------- semantics
+def test_entities_decoded():
+    assert t("<p>fish &amp; chips &#169; now</p>") == "fish & chips © now"
+
+
+def test_script_style_dropped_nested_safe():
+    html = "<div>a<script>var x = '<p>not text</p>';</script>b</div>"
+    assert t(html) == "ab"
+    assert t("<style>p { color: red }</style><p>ok</p>") == "ok"
+
+
+def test_noscript_template_svg_dropped():
+    assert t("<noscript>x</noscript><p>y</p>") == "y"
+    assert t("<template><p>x</p></template><p>y</p>") == "y"
+    assert t("<svg><text>x</text></svg><p>y</p>") == "y"
+
+
+def test_template_block_tags_do_not_break_lines():
+    # template content is inert: no line break leaks out of the subtree
+    assert t("<p>foo<template><p>x</p></template>bar</p>") == "foobar"
+
+
+def test_comments_and_doctype_dropped():
+    assert t("<!DOCTYPE html><!-- no -->\n<p>yes</p>") == "yes"
+
+
+def test_inline_preserves_adjacency_block_breaks():
+    assert t("<p>fo<b>o</b> bar</p>") == "foo bar"
+    assert t("<p>one</p><p>two</p>") == "one\ntwo"
+    assert t("<ul><li>a</li><li>b</li></ul>") == "a\nb"
+
+
+def test_br_breaks_whitespace_collapses():
+    assert t("<p>a<br>b</p>") == "a\nb"
+    assert t("<p>  a \t b\n c  </p>") == "a b c"
+
+
+def test_malformed_never_raises():
+    cases = [
+        "<p>unclosed <b>bold",
+        "text with a stray < sign",
+        "&nosuchentity; stays",
+        "<script>never closed",
+        "</script></div></p>lonely closers<p>tail",
+        "",
+    ]
+    for html in cases:
+        t(html)  # must not raise
+    assert t("<p>unclosed <b>bold") == "unclosed bold"
+    # a stray </script> must not swallow following text
+    assert t("</script><p>after</p>") == "after"
+
+
+def test_none_and_bytes_inputs():
+    assert extract_text_rich_py(None) == ""
+    assert extract_text_rich_py("<p>café</p>".encode()) == "café"
+    # invalid utf-8 degrades via replacement, never raises
+    assert "ok" in extract_text_rich_py(b"<p>ok\xff\xfe</p>")
+
+
+# ------------------------------------------------------------- round-trip
+def test_roundtrip_sweep():
+    for d in range(0, 3000, 7):
+        page = fixtures_web.render_rich_page_py(d)
+        assert extract_text_rich_py(page["html"]) == page["text"], d
+
+
+def test_expected_line_structure():
+    page = fixtures_web.render_rich_page_py(11)
+    lines = page["text"].split("\n")
+    assert lines[0].startswith("Doc 11 & the ")
+    assert lines[1:3] == ["Home", "About"]
+    assert lines[3] == "Entry 11"
+    assert lines[-1] == "© 2024 Synth <Example>"
+    assert len(lines) == 5 + (1 + 11 % 3)
+
+
+# ------------------------------------------------------------- oracle
+def test_oracle_matches_renderer():
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT range AS doc_id FROM range(0, 400)")
+    df = con.sql(fixtures_web.rich_text_sql()).df().set_index("doc_id")
+    for d in range(400):
+        page = fixtures_web.render_rich_page_py(d)
+        assert df.loc[d, "text"] == page["text"], d
+        assert int(df.loc[d, "n_lines"]) == page["text"].count("\n") + 1
+    con.close()
+
+
+# ------------------------------------------------------------- blocks
+def test_blocks_provenance_tags():
+    html = (
+        "<title>T</title><nav><ul><li>A</li></ul></nav>"
+        "<h1>H <span>1</span></h1><p>body <b>x</b></p><footer>F</footer>"
+    )
+    assert extract_blocks_py(html) == [
+        ("title", "T"),
+        ("li", "A"),
+        ("h1", "H 1"),
+        ("p", "body x"),
+        ("footer", "F"),
+    ]
+
+
+def test_blocks_innermost_container_and_toplevel():
+    assert extract_blocks_py("<div>outer<p>inner</p></div>") == [
+        ("div", "outer"),
+        ("p", "inner"),
+    ]
+    assert extract_blocks_py("bare text") == [(None, "bare text")]
+
+
+def test_blocks_unclosed_and_mismatched_tags():
+    assert extract_blocks_py("<p>one<p>two") == [("p", "one"), ("p", "two")]
+    # stray close of a never-opened block tag: still a line break
+    # (browser-like implicit paragraph), but the stack is left alone
+    assert extract_blocks_py("<div>a</p>b</div>") == [("div", "a"), ("div", "b")]
+
+
+def test_blocks_join_equals_text():
+    for d in (0, 1, 7, 23):
+        page = fixtures_web.render_rich_page_py(d)
+        blocks = extract_blocks_py(page["html"])
+        assert "\n".join(line for _t, line in blocks) == page["text"]
+
+
+def test_blocks_roundtrip_sweep():
+    for d in range(0, 2000, 13):
+        page = fixtures_web.render_rich_page_py(d)
+        assert extract_blocks_py(page["html"]) == page["blocks"], d
+
+
+def test_p_blocks_reassemble_flagship_text():
+    """Main-content selection invariant: the <p> lines of the rich page
+    joined by spaces ARE fixtures.render_page_py's text — the bridge
+    that lets the rich path reuse the flagship gold-triples oracle."""
+    for d in range(0, 500, 11):
+        page = fixtures_web.render_rich_page_py(d)
+        ptext = " ".join(l for t, l in extract_blocks_py(page["html"]) if t == "p")
+        assert ptext == render_page_py(d)["text"], d
+
+
+def test_blocks_oracle_matches_renderer():
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT range AS doc_id FROM range(0, 200)")
+    df = (
+        con.sql(fixtures_web.rich_blocks_sql())
+        .df()
+        .sort_values(["doc_id", "block_idx"])
+    )
+    got = list(zip(df.doc_id.astype(int), df.block_idx.astype(int), df.tag, df.text))
+    exp = [
+        (d, i, t, l)
+        for d in range(200)
+        for i, (t, l) in enumerate(fixtures_web.render_rich_page_py(d)["blocks"])
+    ]
+    assert got == exp
+    con.close()
+
+
+# ------------------------------------------------------------- spark
+def test_html_blocks_operator(spark):
+    pages = fixtures_web.rich_pages_from_range(spark, 40, partitions=4)
+    df = html_blocks(pages).toPandas().sort_values(["doc_id", "block_idx"])
+    got = list(zip(df.doc_id.astype(int), df.block_idx.astype(int), df.tag, df.text))
+    exp = [
+        (d, i, t, l)
+        for d in range(40)
+        for i, (t, l) in enumerate(fixtures_web.render_rich_page_py(d)["blocks"])
+    ]
+    assert got == exp
+
+
+def test_rich_html_triples_match_gold(spark):
+    """Realistic pages end-to-end: html → blocks → <p> content →
+    normalize → template extraction == the arithmetic gold triples."""
+    n = 120
+    pages = fixtures_web.rich_pages_from_range(spark, n, partitions=4)
+    out = extract_triples_from_rich_html(pages).toPandas()
+    got = sorted(
+        zip(out.doc_id.astype(int), out.sent_idx.astype(int), out.subj, out.pred, out.obj)
+    )
+    exp = sorted((g[0], g[1], g[2], g[3], g[4]) for g in gold_triples_py(list(range(n))))
+    assert got == exp
+
+
+def test_udf_equals_python(spark):
+    pages = fixtures_web.rich_pages_from_range(spark, 64, partitions=4)
+    got = (
+        pages.select("doc_id", extract_rich_udf("html").alias("text"))
+        .toPandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert len(got) == 64
+    for d in range(64):
+        assert got[d] == fixtures_web.render_rich_page_py(d)["text"], d
