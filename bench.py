@@ -153,6 +153,8 @@ def main() -> None:
             "html_extract_rich",
             "html_blocks",
             "kg_extract_triples_rich_html",
+            "web_links",
+            "web_link_degrees",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

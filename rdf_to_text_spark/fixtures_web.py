@@ -39,6 +39,11 @@ from .templates import FILLERS, TEMPLATES
 
 _T = len(TEMPLATES)
 
+# Outlink targets live in a fixed id space independent of corpus size
+# (the web links beyond any crawl's frontier); graph queries inner-join
+# targets against the docs actually present.
+_LINK_SPACE = 4096
+
 _FOOTER_TEXT = "© 2024 Synth <Example>"
 _FOOTER_HTML = "&copy; 2024 Synth &lt;Example&gt;"
 
@@ -74,6 +79,15 @@ def render_rich_page_py(doc_id: int) -> dict:
         w0, _, rest = sent.partition(" ")
         paras.append(f'<p id="s{s}"><b>{w0}</b> {rest}</p>')
 
+    # deterministic outlinks: 1 + (d*7+3) % 4 root-relative hrefs whose
+    # targets follow the same /{category}/{doc_id:08d} url scheme
+    n_out = 1 + (d * 7 + 3) % 4
+    targets = [(d * 37 + k * 61 + 1) % _LINK_SPACE for k in range(n_out)]
+    rel_items = [
+        f'<li><a href="/{TEMPLATES[(j * 7) % _T][1]}/{j:08d}">Doc {j}</a></li>'
+        for j in targets
+    ]
+
     html = "\n".join(
         [
             "<!DOCTYPE html>",
@@ -90,6 +104,9 @@ def render_rich_page_py(doc_id: int) -> dict:
             f'<h1>Entry <span class="num">{d}</span></h1>',
             "<noscript>enable javascript</noscript>",
             *paras,
+            '<section class="rel"><ul>',
+            *rel_items,
+            "</ul></section>",
             "<template><p>hidden boilerplate</p></template>",
             f"<footer>{_FOOTER_HTML}</footer>",
             "</body>",
@@ -103,16 +120,24 @@ def render_rich_page_py(doc_id: int) -> dict:
         "About",
         f"Entry {d}",
         *sents,
+        *[f"Doc {j}" for j in targets],
         _FOOTER_TEXT,
     ]
     # expected (tag, line) blocks — the provenance contract of
     # functions.htmltext.extract_blocks_py on this page shape
     blocks = list(
         zip(
-            ["title", "li", "li", "h1"] + ["p"] * n_sent + ["footer"],
+            ["title", "li", "li", "h1"]
+            + ["p"] * n_sent
+            + ["li"] * n_out
+            + ["footer"],
             lines,
         )
     )
+    # expected (href, anchor) links — the contract of extract_links_py
+    links = [(f"/about?d={d}&x=1", "About")] + [
+        (f"/{TEMPLATES[(j * 7) % _T][1]}/{j:08d}", f"Doc {j}") for j in targets
+    ]
     return {
         "doc_id": d,
         "url": f"https://synth.example/{cat}/{d:08d}",
@@ -120,6 +145,7 @@ def render_rich_page_py(doc_id: int) -> dict:
         "html": html.encode("utf-8"),
         "text": "\n".join(lines),
         "blocks": blocks,
+        "links": links,
     }
 
 
@@ -194,6 +220,16 @@ sent_txt AS (
 dcat AS (
   SELECT d.doc_id, tm.scat
   FROM documents d JOIN tmpl tm ON tm.t = (d.doc_id*7) % {_T}
+),
+ks(k) AS (VALUES (0), (1), (2), (3)),
+rel AS (
+  SELECT d.doc_id, n.k,
+         (d.doc_id*37 + n.k*61 + 1) % {_LINK_SPACE} AS j
+  FROM documents d JOIN ks n ON n.k < 1 + (d.doc_id*7 + 3) % 4
+),
+relc AS (
+  SELECT r.doc_id, r.k, r.j, tm.scat AS jcat
+  FROM rel r JOIN tmpl tm ON tm.t = (r.j*7) % {_T}
 )"""
 
 
@@ -212,15 +248,24 @@ def rich_text_sql() -> str:
 body AS (
   SELECT doc_id, string_agg(txt, {nl} ORDER BY s) AS sents
   FROM sent_txt GROUP BY doc_id
+),
+relbody AS (
+  SELECT doc_id,
+         string_agg('Doc ' || CAST(j AS VARCHAR), {nl} ORDER BY k) AS rels,
+         COUNT(*) AS n_out
+  FROM rel GROUP BY doc_id
 )
 SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
        'Doc ' || CAST(b.doc_id AS VARCHAR) || ' & the ' || c.scat || ' page'
          || {nl} || 'Home' || {nl} || 'About'
          || {nl} || 'Entry ' || CAST(b.doc_id AS VARCHAR)
          || {nl} || b.sents
+         || {nl} || rb.rels
          || {nl} || '{footer}' AS text,
-       CAST(6 + b.doc_id % 3 AS BIGINT) AS n_lines
-FROM body b JOIN dcat c ON c.doc_id = b.doc_id"""
+       CAST(6 + b.doc_id % 3 + rb.n_out AS BIGINT) AS n_lines
+FROM body b
+JOIN dcat c ON c.doc_id = b.doc_id
+JOIN relbody rb ON rb.doc_id = b.doc_id"""
 
 
 def rich_blocks_sql() -> str:
@@ -246,5 +291,52 @@ FROM (
   UNION ALL
   SELECT doc_id, 4 + s, 'p', txt FROM sent_txt
   UNION ALL
-  SELECT doc_id, 5 + doc_id % 3, 'footer', '{footer}' FROM dcat
+  SELECT doc_id, 5 + doc_id % 3 + k, 'li', 'Doc ' || CAST(j AS VARCHAR)
+  FROM rel
+  UNION ALL
+  SELECT doc_id, 6 + doc_id % 3 + (doc_id*7 + 3) % 4, 'footer', '{footer}'
+  FROM dcat
 )"""
+
+
+def web_links_sql() -> str:
+    """Oracle: (doc_id, link_idx, href, resolved, anchor) — expected
+    link set per page, hrefs AND their absolute resolution rebuilt
+    arithmetically (the Spark side resolves with urllib.parse.urljoin
+    against the page url; on root-relative hrefs the two definitions
+    provably coincide)."""
+    base = "'https://synth.example'"
+    return f"""WITH {_web_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(link_idx AS BIGINT) AS link_idx,
+       href, {base} || href AS resolved, anchor
+FROM (
+  SELECT doc_id, 0 AS link_idx,
+         '/about?d=' || CAST(doc_id AS VARCHAR) || '&x=1' AS href,
+         'About' AS anchor
+  FROM dcat
+  UNION ALL
+  SELECT doc_id, 1 + k,
+         '/' || jcat || '/' || lpad(CAST(j AS VARCHAR), 8, '0'),
+         'Doc ' || CAST(j AS VARCHAR)
+  FROM relc
+)"""
+
+
+def web_link_degrees_sql() -> str:
+    """Oracle: (doc_id, out_links, in_links) over the in-corpus link
+    graph — edges are outlink targets that exist in the documents
+    table; both degree columns rebuilt from the outlink arithmetic."""
+    return f"""WITH {_web_cte()},
+edges AS (
+  SELECT r.doc_id AS src, r.j AS dst
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+),
+outd AS (SELECT src AS doc_id, COUNT(*) AS c FROM edges GROUP BY src),
+ind AS (SELECT dst AS doc_id, COUNT(*) AS c FROM edges GROUP BY dst)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_links
+FROM documents d
+LEFT JOIN outd o ON o.doc_id = d.doc_id
+LEFT JOIN ind i ON i.doc_id = d.doc_id"""

@@ -85,15 +85,25 @@ class _TextExtractor(HTMLParser):
         self._parts: list[str] = []
         self._blocks: list[tuple[str | None, str]] = []  # (container_tag, line)
         self._stack: list[str] = []
+        self._links: list[tuple[str, str]] = []  # (href, anchor_text)
+        self._a_href: str | None = None
+        self._a_parts: list[str] = []
 
     # -- tag structure -------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ARG002
+    def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
         elif self._skip:
             # a block tag INSIDE a skipped subtree (<template><p>…) is
             # inert content, not a line break
             return
+        elif tag == "a":
+            # a new <a> implicitly closes a dangling one (invalid
+            # nesting degrades the way browsers degrade it)
+            self._flush_anchor()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._a_href = href
         elif tag in _BLOCK_TAGS:
             self._flush_line()
             if tag not in _VOID_BLOCKS:
@@ -105,6 +115,8 @@ class _TextExtractor(HTMLParser):
             self._skip = max(0, self._skip - 1)
         elif self._skip:
             return
+        elif tag == "a":
+            self._flush_anchor()
         elif tag in _BLOCK_TAGS:
             self._flush_line()
             # lenient unwind: pop to the matching open tag if present
@@ -122,6 +134,8 @@ class _TextExtractor(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not self._skip and data:
             self._parts.append(data)
+            if self._a_href is not None:
+                self._a_parts.append(data)
 
     # comments / doctype / PIs: intentionally dropped (default no-ops).
 
@@ -133,6 +147,14 @@ class _TextExtractor(HTMLParser):
                 self._blocks.append((self._stack[-1] if self._stack else None, line))
             self._parts = []
 
+    def _flush_anchor(self) -> None:
+        if self._a_href is not None:
+            self._links.append(
+                (self._a_href, " ".join("".join(self._a_parts).split()))
+            )
+        self._a_href = None
+        self._a_parts = []
+
     def text(self) -> str:
         self._flush_line()
         return "\n".join(line for _tag, line in self._blocks)
@@ -140,6 +162,10 @@ class _TextExtractor(HTMLParser):
     def blocks(self) -> list[tuple[str | None, str]]:
         self._flush_line()
         return list(self._blocks)
+
+    def links(self) -> list[tuple[str, str]]:
+        self._flush_anchor()  # a dangling <a> still yields its href
+        return list(self._links)
 
 
 def extract_text_rich_py(html: bytes | str | None) -> str:
@@ -164,6 +190,20 @@ def _parse(html: bytes | str | None) -> _TextExtractor:
     except Exception:
         pass
     return parser
+
+
+def extract_links_py(html: bytes | str | None) -> list[tuple[str, str]]:
+    """HTML → ordered [(href, anchor_text)] for every ``<a href=…>``.
+
+    Entity references in both href and anchor are decoded (the
+    tokenizer decodes attribute charrefs unconditionally). Anchors in
+    skipped subtrees are ignored; an ``<a>`` without href contributes
+    nothing; a dangling anchor still yields its href with whatever text
+    accumulated. The web-graph front half: downstream
+    `operators/webtext.py:html_links` resolves these against the page
+    url into absolute link targets.
+    """
+    return _parse(html).links()
 
 
 def extract_blocks_py(html: bytes | str | None) -> list[tuple[str | None, str]]:

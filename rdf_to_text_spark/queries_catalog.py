@@ -3297,3 +3297,30 @@ def kg_extract_triples_rich_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred",
         "obj",
     )
+
+
+@_register_extra("web_links", fixtures_web.web_links_sql())
+def web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (operators/webtext.py:html_links): every
+    <a href> with anchor text and its ABSOLUTE target via real RFC 3986
+    resolution (urljoin) against the page url. Oracle rebuilds hrefs
+    AND resolutions from the outlink arithmetic — on the fixture's
+    root-relative hrefs the two resolution definitions provably
+    coincide."""
+    from .operators.webtext import html_links
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return html_links(pages)
+
+
+@_register_extra("web_link_degrees", fixtures_web.web_link_degrees_sql())
+def web_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus link-graph degrees (operators/webtext.py:link_degrees):
+    resolved targets parsed under the corpus url scheme, inner-joined
+    against the documents table (links beyond the crawl are dropped,
+    as in any web-graph build), then out/in-degree per doc — the
+    canonical edges⋈ids + two combiner-friendly groupBys plan."""
+    from .operators.webtext import link_degrees
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return link_degrees(pages, _docs(spark, sf_dir))

@@ -1,0 +1,169 @@
+"""WARC source: Common-Crawl's container format, pure stdlib.
+
+BASELINE.json frames the input as "Common-Crawl-style web pages"; the
+format those actually arrive in is WARC (ISO 28500): a sequence of
+records, each ``WARC/1.0`` + CRLF header lines + CRLF CRLF + a
+Content-Length-delimited payload + CRLF CRLF. For ``response`` records
+the payload is an HTTP response whose body is the page; Common Crawl
+ships each record as its own gzip member, concatenated into ``.warc.gz``
+files (a multi-member stream — gzip readers consume members
+back-to-back).
+
+Scale shape: WARC-gzip is NOT splittable (member boundaries are
+unknowable without scanning), so the unit of parallelism is the FILE —
+exactly how production CC jobs run (~72k × ~1 GB files per crawl =
+plenty of splits for any cluster). The reader is `binaryFile` scan →
+one Arrow-batched parse stage; everything downstream (html_blocks,
+extract_triples_from_rich_html) is source-agnostic.
+
+Both directions are implemented so the round-trip is testable without
+external data: :func:`write_warc_py` emits spec-shaped bytes (used by
+the fixture writer and the `warc_roundtrip` catalog query),
+:func:`parse_warc_bytes` reads them (and any conforming file) back.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WARC_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream to one buffer."""
+    out = io.BytesIO()
+    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+        # GzipFile reads concatenated members until EOF
+        while True:
+            chunk = gz.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return out.getvalue()
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """WARC bytes (plain or gzip) → [{url, warc_date, html}] for every
+    ``response`` record. Non-response records (warcinfo, request,
+    metadata) are skipped; the HTTP response header block is stripped
+    from the payload. Lenient: a malformed tail ends the scan rather
+    than raising."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        he = data.find(_HDR_END, pos)
+        if he < 0:
+            break
+        header = data[pos:he].decode("utf-8", errors="replace")
+        lines = header.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                fields[k.strip()] = v.strip()
+        try:
+            length = int(fields["Content-Length"])
+        except (KeyError, ValueError):
+            break
+        body = data[he + 4 : he + 4 + length]
+        pos = he + 4 + length
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if fields.get("WARC-Type") != "response":
+            continue
+        hhe = body.find(_HDR_END)
+        html = body[hhe + 4 :] if hhe >= 0 else body
+        records.append(
+            {
+                "url": fields.get("WARC-Target-URI", ""),
+                "warc_date": fields.get("WARC-Date", ""),
+                "html": html,
+            }
+        )
+    return records
+
+
+def _http_payload(html: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + _HDR_END + html
+    )
+
+
+def write_warc_py(
+    records: list[tuple[str, str, bytes]], gzip_records: bool = True
+) -> bytes:
+    """[(url, iso_date, html)] → WARC bytes (spec layout above).
+
+    ``gzip_records=True`` emits one gzip member per record — the
+    Common-Crawl ``.warc.gz`` layout; False emits a plain ``.warc``.
+    """
+    out = io.BytesIO()
+    for url, iso_date, html in records:
+        payload = _http_payload(html)
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"WARC-Date: " + iso_date.encode() + _CRLF
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(payload)).encode() + _HDR_END
+            + payload + _CRLF + _CRLF
+        )
+        out.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
+    return out.getvalue()
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files → pages(url, warc_ts, html).
+
+    ``binaryFile`` scan (one task per file — the CC parallelism unit)
+    into one Arrow-batched parse stage. WARC-Date (ISO 8601, Z) parses
+    to a naive UTC timestamp.
+    """
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            ts = pd.to_datetime(
+                [r["warc_date"] for r in rows], utc=True, errors="coerce"
+            ).tz_localize(None)
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": ts,
+                    "html": [r["html"] for r in rows],
+                }
+            )
+
+    return files.select("content").mapInPandas(run, WARC_PAGES_SCHEMA)

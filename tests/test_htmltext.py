@@ -19,12 +19,15 @@ from rdf_to_text_spark import fixtures_web
 from rdf_to_text_spark.fixtures import gold_triples_py, render_page_py
 from rdf_to_text_spark.functions.htmltext import (
     extract_blocks_py,
+    extract_links_py,
     extract_rich_udf,
     extract_text_rich_py,
 )
 from rdf_to_text_spark.operators.webtext import (
     extract_triples_from_rich_html,
     html_blocks,
+    html_links,
+    link_degrees,
 )
 
 
@@ -106,7 +109,8 @@ def test_expected_line_structure():
     assert lines[1:3] == ["Home", "About"]
     assert lines[3] == "Entry 11"
     assert lines[-1] == "© 2024 Synth <Example>"
-    assert len(lines) == 5 + (1 + 11 % 3)
+    n_sent, n_out = 1 + 11 % 3, 1 + (11 * 7 + 3) % 4
+    assert len(lines) == 5 + n_sent + n_out
 
 
 # ------------------------------------------------------------- oracle
@@ -192,7 +196,90 @@ def test_blocks_oracle_matches_renderer():
     con.close()
 
 
+# ------------------------------------------------------------- links
+def test_links_basic_and_entities():
+    html = '<a href="/x?a=1&amp;b=2">first <b>link</b></a><a href="/y">two</a>'
+    assert extract_links_py(html) == [
+        ("/x?a=1&b=2", "first link"),
+        ("/y", "two"),
+    ]
+
+
+def test_links_edge_cases():
+    # no href -> no link; anchor inside skipped subtree ignored
+    assert extract_links_py("<a>nameless</a>") == []
+    assert extract_links_py("<template><a href='/t'>x</a></template>") == []
+    # dangling anchor still yields its href + accumulated text
+    assert extract_links_py('<a href="/d">dangling') == [("/d", "dangling")]
+    # a new <a> implicitly closes the previous one
+    assert extract_links_py('<a href="/1">one<a href="/2">two</a>') == [
+        ("/1", "one"),
+        ("/2", "two"),
+    ]
+    # link text still appears in the extracted text
+    assert extract_text_rich_py('<p>go <a href="/z">here</a> now</p>') == "go here now"
+
+
+def test_links_roundtrip_sweep():
+    for d in range(0, 2000, 17):
+        page = fixtures_web.render_rich_page_py(d)
+        assert extract_links_py(page["html"]) == page["links"], d
+
+
+def test_links_oracle_matches_renderer():
+    from urllib.parse import urljoin
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT range AS doc_id FROM range(0, 200)")
+    df = (
+        con.sql(fixtures_web.web_links_sql())
+        .df()
+        .sort_values(["doc_id", "link_idx"])
+    )
+    got = list(
+        zip(df.doc_id.astype(int), df.link_idx.astype(int), df.href, df.resolved, df.anchor)
+    )
+    exp = []
+    for d in range(200):
+        page = fixtures_web.render_rich_page_py(d)
+        for i, (href, anchor) in enumerate(page["links"]):
+            exp.append((d, i, href, urljoin(page["url"], href), anchor))
+    assert got == exp
+    con.close()
+
+
 # ------------------------------------------------------------- spark
+def test_html_links_operator_and_degrees(spark):
+    from urllib.parse import urljoin
+
+    n = 60
+    pages = fixtures_web.rich_pages_from_range(spark, n, partitions=4)
+    df = html_links(pages).toPandas().sort_values(["doc_id", "link_idx"])
+    got = list(
+        zip(df.doc_id.astype(int), df.link_idx.astype(int), df.href, df.resolved, df.anchor)
+    )
+    exp = []
+    outd = {d: 0 for d in range(n)}
+    ind = {d: 0 for d in range(n)}
+    for d in range(n):
+        page = fixtures_web.render_rich_page_py(d)
+        for i, (href, anchor) in enumerate(page["links"]):
+            exp.append((d, i, href, urljoin(page["url"], href), anchor))
+        for k in range(1 + (d * 7 + 3) % 4):
+            j = (d * 37 + k * 61 + 1) % 4096
+            if j < n:
+                outd[d] += 1
+                ind[j] += 1
+    assert got == exp
+
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    deg = link_degrees(pages, docs).toPandas().set_index("doc_id")
+    assert len(deg) == n
+    for d in range(n):
+        assert int(deg.loc[d, "out_links"]) == outd[d], d
+        assert int(deg.loc[d, "in_links"]) == ind[d], d
+
+
 def test_html_blocks_operator(spark):
     pages = fixtures_web.rich_pages_from_range(spark, 40, partitions=4)
     df = html_blocks(pages).toPandas().sort_values(["doc_id", "block_idx"])

@@ -1,0 +1,76 @@
+"""WARC source (sources/warc.py): spec round-trip + Spark reader."""
+
+import gzip
+
+from rdf_to_text_spark import fixtures_web
+from rdf_to_text_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    write_warc_py,
+)
+
+
+def _recs(n):
+    out = []
+    for d in range(n):
+        page = fixtures_web.render_rich_page_py(d)
+        out.append((page["url"], f"2024-01-01T00:00:{d % 60:02d}Z", page["html"]))
+    return out
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = _recs(40)
+    for gz in (False, True):
+        back = parse_warc_bytes(write_warc_py(recs, gzip_records=gz))
+        assert [(b["url"], b["warc_date"], b["html"]) for b in back] == recs
+
+
+def test_gzip_is_multi_member():
+    """CC layout: one gzip member per record — a reader seeking to any
+    member boundary can decompress independently."""
+    recs = _recs(3)
+    data = write_warc_py(recs, gzip_records=True)
+    # each member alone must decompress to exactly one record
+    starts = [i for i in range(len(data) - 1) if data[i : i + 2] == b"\x1f\x8b"]
+    assert len(starts) >= 3
+    one = gzip.decompress(data[starts[0] : starts[1]])
+    assert len(parse_warc_bytes(one)) == 1
+
+
+def test_non_response_records_skipped():
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ntest\r\n\r\n"
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    data = info + req + write_warc_py(_recs(2), gzip_records=False)
+    assert len(parse_warc_bytes(data)) == 2
+
+
+def test_http_headers_stripped():
+    back = parse_warc_bytes(write_warc_py(_recs(1), gzip_records=False))
+    assert back[0]["html"].startswith(b"<!DOCTYPE html>")
+    assert b"HTTP/1.1" not in back[0]["html"]
+
+
+def test_malformed_tail_is_lenient():
+    data = write_warc_py(_recs(2), gzip_records=False) + b"WARC/1.0\r\ngarbage"
+    assert len(parse_warc_bytes(data)) == 2
+    assert parse_warc_bytes(b"") == []
+    assert parse_warc_bytes(b"not a warc at all") == []
+
+
+def test_spark_read_warc(spark, tmp_path):
+    recs = _recs(30)
+    for i in range(3):
+        part = recs[i * 10 : (i + 1) * 10]
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(
+            write_warc_py(part, gzip_records=True)
+        )
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    got = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 30
+    by_url = {r[0]: r for r in recs}
+    for _, row in got.iterrows():
+        url, date, html = by_url[row.url]
+        assert bytes(row.html) == html
+        assert row.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == date
