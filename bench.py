@@ -155,6 +155,9 @@ def main() -> None:
             "kg_extract_triples_rich_html",
             "web_links",
             "web_link_degrees",
+            "warc_roundtrip",
+            "web_link_components",
+            "web_pagerank",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

@@ -233,17 +233,30 @@ relc AS (
 )"""
 
 
-def rich_text_sql() -> str:
+def rich_text_sql(with_meta: bool = False) -> str:
     """Oracle: (doc_id, text, n_lines) — the FULL expected extracted text.
 
     Sentence bodies replay the reference relex semantics in SQL exactly
     as `fixtures.gold_triples_sql` does for triples: nested replace() in
     sorted slot-key order over the template pattern, surfaces from the
     gold CTE. Structural lines (title/nav/h1/footer) are concatenated
-    literals; n_lines = 5 + n_sent is pure arithmetic.
+    literals; the line count is pure arithmetic.
+
+    ``with_meta`` adds the page url and the formatted warc_ts
+    (base 2024-01-01 + doc_id seconds, the fixture convention) — the
+    shape the `warc_roundtrip` query emits after a WARC write/read.
     """
     nl = "chr(10)"
     footer = _FOOTER_TEXT.replace("'", "''")
+    meta_cols = (
+        """
+       'https://synth.example/' || c.scat || '/'
+         || lpad(CAST(b.doc_id AS VARCHAR), 8, '0') AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(b.doc_id),
+                '%Y-%m-%d %H:%M:%S') AS warc_ts,"""
+        if with_meta
+        else ""
+    )
     return f"""WITH {_web_cte()},
 body AS (
   SELECT doc_id, string_agg(txt, {nl} ORDER BY s) AS sents
@@ -255,7 +268,7 @@ relbody AS (
          COUNT(*) AS n_out
   FROM rel GROUP BY doc_id
 )
-SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,{meta_cols}
        'Doc ' || CAST(b.doc_id AS VARCHAR) || ' & the ' || c.scat || ' page'
          || {nl} || 'Home' || {nl} || 'About'
          || {nl} || 'Entry ' || CAST(b.doc_id AS VARCHAR)
@@ -340,3 +353,58 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d
 LEFT JOIN outd o ON o.doc_id = d.doc_id
 LEFT JOIN ind i ON i.doc_id = d.doc_id"""
+
+
+def web_link_components_sql() -> str:
+    """Oracle: (doc_id, component) — weakly connected components of the
+    in-corpus link graph, component = min doc_id reachable. DuckDB
+    recursive min-label closure over the SAME arithmetic edge set the
+    degrees oracle uses; isolated docs label themselves."""
+    return f"""WITH RECURSIVE {_web_cte()},
+e0 AS (
+  SELECT DISTINCT r.doc_id AS a, r.j AS b
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+  WHERE r.doc_id <> r.j
+),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY node"""
+
+
+def web_pagerank_sql(iters: int = 3, total: int = 10**12) -> str:
+    """Oracle: (doc_id, rank) — the integer-PageRank spec replayed as
+    `iters` chained CTE rounds over the arithmetic edge set. All
+    arithmetic is BIGINT floor division (``//``), so the replay is
+    exact, not approximate."""
+    base = total * 15 // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst AS doc_id, SUM((r.rank * 85 // 100) // g.deg) AS recv
+  FROM edges e JOIN {prev} r ON r.doc_id = e.src
+  JOIN deg g ON g.src = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.doc_id, CAST({base} + COALESCE(c.recv, 0) AS BIGINT) AS rank
+  FROM documents d LEFT JOIN c{i} c ON c.doc_id = d.doc_id
+)"""
+        )
+        prev = f"r{i}"
+    return f"""WITH {_web_cte()},
+edges AS (
+  SELECT r.doc_id AS src, r.j AS dst
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+  WHERE r.doc_id <> r.j
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({total} AS BIGINT) AS rank FROM documents),
+{",".join(rounds)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rank FROM {prev}"""

@@ -182,26 +182,33 @@ def html_links(pages: DataFrame) -> DataFrame:
 _CORPUS_URL_RX = r"^https://synth\.example/[A-Za-z]+/(\d{8})$"
 
 
-def link_degrees(pages: DataFrame, docs: DataFrame) -> DataFrame:
-    """In-corpus link-graph degrees: (doc_id, out_links, in_links).
-
-    Edges = resolved link targets that parse under the corpus url
-    scheme AND exist in `docs`. Scale shape: the link explode is the
-    narrow stage above; then one hash join of edges against doc ids on
-    the target key and two partial-aggregated groupBys — the canonical
-    web-graph degree plan (shuffles on doc_id only, combiner-friendly
-    counts, no skew beyond the graph's own in-degree distribution,
-    which AQE skew-split absorbs at scale).
-    """
+def link_edges(pages: DataFrame, docs: DataFrame) -> DataFrame:
+    """In-corpus link-graph edges (src, dst): resolved targets that
+    parse under the corpus url scheme AND exist in `docs` (links beyond
+    the crawl are dropped, as in any web-graph build). One hash join of
+    the exploded links against doc ids on the target key."""
     ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     links = html_links(pages)
     dst_str = F.regexp_extract("resolved", _CORPUS_URL_RX, 1)
-    edges = (
+    return (
         links.withColumn("dst", F.nullif(dst_str, F.lit("")).cast("long"))
         .filter(F.col("dst").isNotNull())
         .select(F.col("doc_id").alias("src"), "dst")
         .join(ids.withColumnRenamed("doc_id", "dst"), "dst")
     )
+
+
+def link_degrees(pages: DataFrame, docs: DataFrame) -> DataFrame:
+    """In-corpus link-graph degrees: (doc_id, out_links, in_links).
+
+    Scale shape: the link explode is the narrow html_links stage; then
+    the edges⋈ids hash join and two partial-aggregated groupBys — the
+    canonical web-graph degree plan (shuffles on doc_id only,
+    combiner-friendly counts, no skew beyond the graph's own in-degree
+    distribution, which AQE skew-split absorbs at scale).
+    """
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    edges = link_edges(pages, docs)
     outd = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").alias("out_links")
     )
@@ -217,3 +224,55 @@ def link_degrees(pages: DataFrame, docs: DataFrame) -> DataFrame:
             F.coalesce("in_links", F.lit(0)).cast("long").alias("in_links"),
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    total: int = 10**12,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Deterministic INTEGER PageRank: (doc_id, rank) after `iters` rounds.
+
+    Classic float PageRank cannot sit under an exact cross-engine hash
+    gate (sum association order differs between engines), so the mass
+    is integer: every node starts with ``total`` units; each round a
+    node keeps a constant teleport base ``total*15//100`` and each
+    out-edge carries ``(rank*85//100) // out_deg`` units (floor
+    division twice — the exact spec both engines replay). Dangling
+    nodes' damped mass leaves the system (standard simplification;
+    documented, identical on both sides). With total=10^12 the floor
+    truncation error per round is ≤ out_deg units ≈ 10^-10 relative —
+    numerically PageRank, arithmetically exact.
+
+    Scale shape: the canonical iterative-join plan — per round ONE
+    ranks⋈edges hash join (edges pre-joined with out-degrees, persisted
+    across rounds; persist handle appended to `cleanup`, the house
+    contract of ranking.py/dedup.py) and one combiner-friendly groupBy
+    on dst. Rounds are data-independent constant count (no convergence
+    probe), so the job is `iters` × (join + agg) shuffles on doc_id.
+    In-degree skew (the web's power law) is AQE skew-split territory,
+    same as link_degrees.
+    """
+    ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").persist()
+    if cleanup is not None:
+        cleanup.append(e)
+    base = total * 15 // 100
+    ranks = ids.withColumn("rank", F.lit(total).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("rank * 85 div 100 div deg").alias("send"),
+            )
+        )
+        recv = contrib.groupBy("doc_id").agg(F.sum("send").alias("recv"))
+        ranks = ids.join(recv, "doc_id", "left").select(
+            "doc_id",
+            (F.lit(base) + F.coalesce("recv", F.lit(0))).cast("long").alias("rank"),
+        )
+    return ranks

@@ -3324,3 +3324,102 @@ def web_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
     return link_degrees(pages, _docs(spark, sf_dir))
+
+
+@_register_extra("warc_roundtrip", fixtures_web.rich_text_sql(with_meta=True))
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family, Common-Crawl's real container: rich pages are written
+    executor-side into per-partition ``.warc.gz`` files (one gzip
+    member per record — the CC layout, sources/warc.py:write_warc_py),
+    read back through the REAL binaryFile-scan reader (read_warc), and
+    the text re-extracted. The oracle rebuilds doc_id, url, warc_ts
+    AND the full extracted text from arithmetic — WARC headers, HTTP
+    header stripping, multi-member gzip, and timestamp parsing are all
+    under the hash. Scratch dir is driver-local (fine on local mode;
+    a cluster writer targets shared storage — the writer fn is the
+    only line that changes)."""
+    import shutil
+    import tempfile
+
+    from .functions.htmltext import extract_rich_udf
+    from .sources.warc import read_warc, write_warc_py
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
+        4, "doc_id"
+    )
+    work = tempfile.mkdtemp(prefix="warc_rt_")
+
+    def writer(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pd.Timestamp("2024-01-01T00:00:00")
+        recs = []
+        for pdf in batches:
+            for d, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                iso = (base + pd.Timedelta(seconds=int(d))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+                recs.append((url, iso, html))
+        if recs:
+            with open(f"{work}/part-{pid:05d}.warc.gz", "wb") as f:
+                f.write(write_warc_py(recs, gzip_records=True))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    try:
+        pages.mapInPandas(writer, "n long").count()
+        out = read_warc(spark, f"{work}/*.warc.gz")
+        res = (
+            out.select(
+                F.regexp_extract("url", r"/(\d{8})$", 1).cast("long").alias("doc_id"),
+                "url",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+                extract_rich_udf("html").alias("text"),
+            )
+            .withColumn("n_lines", F.size(F.split("text", "\n")).cast("long"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        res, "doc_id long, url string, warc_ts string, text string, n_lines long"
+    )
+
+
+@_register_extra("web_link_components", fixtures_web.web_link_components_sql())
+def web_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the in-corpus link graph — the
+    north_rule's CC machinery (operators/canonicalize.py star rounds +
+    pointer-jump shortcut) applied to the web graph the link extractor
+    produces. Node ids are doc_ids, so component = min doc_id reachable
+    directly; isolated docs (no in-corpus links either way) label
+    themselves. Oracle: DuckDB recursive min-label closure over the
+    same arithmetic edge set."""
+    from .operators.webtext import link_edges
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
+    comp = connected_components(edges, max_iter=8)
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return ids.join(comp, ids.doc_id == comp.node, "left").select(
+        ids.doc_id,
+        F.coalesce(comp.component, ids.doc_id).cast("long").alias("component"),
+    )
+
+
+@_register_extra("web_pagerank", fixtures_web.web_pagerank_sql())
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the in-corpus link graph
+    (operators/webtext.py:pagerank_int): 3 rounds of exact
+    floor-division mass passing — the iterative-join graph pattern
+    under the EXACT hash gate, which float PageRank can never satisfy
+    cross-engine. Oracle replays the identical integer spec as chained
+    CTE rounds."""
+    from .operators.webtext import link_edges, pagerank_int
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
+    return pagerank_int(edges, docs, iters=3, cleanup=_CLEANUPS)

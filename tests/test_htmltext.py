@@ -280,6 +280,47 @@ def test_html_links_operator_and_degrees(spark):
         assert int(deg.loc[d, "in_links"]) == ind[d], d
 
 
+def test_pagerank_int_matches_reference(spark):
+    """Integer PageRank == the plain-Python floor-division spec."""
+    from collections import defaultdict
+
+    from rdf_to_text_spark.operators.webtext import link_edges, pagerank_int
+
+    n, total = 80, 10**12
+    edges_py = []
+    for d in range(n):
+        for k in range(1 + (d * 7 + 3) % 4):
+            j = (d * 37 + k * 61 + 1) % 4096
+            if j < n and j != d:
+                edges_py.append((d, j))
+    deg = defaultdict(int)
+    for s, _ in edges_py:
+        deg[s] += 1
+    rank = {d: total for d in range(n)}
+    base = total * 15 // 100
+    for _ in range(3):
+        recv = defaultdict(int)
+        for s, t_ in edges_py:
+            recv[t_] += (rank[s] * 85 // 100) // deg[s]
+        rank = {d: base + recv[d] for d in range(n)}
+
+    pages = fixtures_web.rich_pages_from_range(spark, n, partitions=4)
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    cleanup: list = []
+    edges = link_edges(pages, docs).filter("src <> dst")
+    got = (
+        pagerank_int(edges, docs, iters=3, total=total, cleanup=cleanup)
+        .toPandas()
+        .set_index("doc_id")["rank"]
+        .to_dict()
+    )
+    for h in cleanup:
+        h.unpersist()
+    assert got == rank
+    # teleport floor: every node holds at least the base mass
+    assert min(got.values()) >= base
+
+
 def test_html_blocks_operator(spark):
     pages = fixtures_web.rich_pages_from_range(spark, 40, partitions=4)
     df = html_blocks(pages).toPandas().sort_values(["doc_id", "block_idx"])
