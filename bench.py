@@ -158,6 +158,7 @@ def main() -> None:
             "warc_roundtrip",
             "web_link_components",
             "web_pagerank",
+            "web_meta",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

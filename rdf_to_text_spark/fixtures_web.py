@@ -88,6 +88,13 @@ def render_rich_page_py(doc_id: int) -> dict:
         for j in targets
     ]
 
+    # page directives: a description for every page; robots noindex on
+    # every 13th (the crawl-gating surface extract_meta_py feeds)
+    metas = [("description", f"Synthetic {cat} page {d}")]
+    if d % 13 == 0:
+        metas.append(("robots", "noindex"))
+    meta_html = [f'<meta name="{k}" content="{v}">' for k, v in metas]
+
     html = "\n".join(
         [
             "<!DOCTYPE html>",
@@ -95,6 +102,7 @@ def render_rich_page_py(doc_id: int) -> dict:
             "<html>",
             "<head>",
             '<meta charset="utf-8">',
+            *meta_html,
             f"<title>Doc {d} &amp; the {cat} page</title>",
             _STYLE,
             _SCRIPT_TMPL % d,
@@ -146,6 +154,7 @@ def render_rich_page_py(doc_id: int) -> dict:
         "text": "\n".join(lines),
         "blocks": blocks,
         "links": links,
+        "metas": metas,
     }
 
 
@@ -408,3 +417,19 @@ deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT doc_id, CAST({total} AS BIGINT) AS rank FROM documents),
 {",".join(rounds)}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, rank FROM {prev}"""
+
+
+def web_meta_sql() -> str:
+    """Oracle: (doc_id, meta_idx, name, content) — the page directives
+    rebuilt arithmetically (description on every page, robots noindex
+    on every 13th)."""
+    return f"""WITH {_web_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(meta_idx AS BIGINT) AS meta_idx, name, content
+FROM (
+  SELECT c.doc_id, 0 AS meta_idx, 'description' AS name,
+         'Synthetic ' || c.scat || ' page ' || CAST(c.doc_id AS VARCHAR) AS content
+  FROM dcat c
+  UNION ALL
+  SELECT doc_id, 1, 'robots', 'noindex' FROM dcat WHERE doc_id % 13 = 0
+)"""

@@ -88,6 +88,7 @@ class _TextExtractor(HTMLParser):
         self._links: list[tuple[str, str]] = []  # (href, anchor_text)
         self._a_href: str | None = None
         self._a_parts: list[str] = []
+        self._metas: list[tuple[str, str]] = []  # (name, content)
 
     # -- tag structure -------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -104,6 +105,8 @@ class _TextExtractor(HTMLParser):
             href = next((v for k, v in attrs if k == "href"), None)
             if href is not None:
                 self._a_href = href
+        elif tag == "meta":
+            self._collect_meta(attrs)
         elif tag in _BLOCK_TAGS:
             self._flush_line()
             if tag not in _VOID_BLOCKS:
@@ -127,8 +130,18 @@ class _TextExtractor(HTMLParser):
     # <br/> / <hr/> arrive here; default impl would call start+end, which
     # for skip tags would inc+dec (no-op) — make the block break explicit.
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if not self._skip and tag in _BLOCK_TAGS:
+        if self._skip:
+            return
+        if tag == "meta":  # XHTML-style <meta … />
+            self._collect_meta(attrs)
+        elif tag in _BLOCK_TAGS:
             self._flush_line()
+
+    def _collect_meta(self, attrs) -> None:
+        kv = {k: v for k, v in attrs}
+        name, content = kv.get("name"), kv.get("content")
+        if name is not None and content is not None:
+            self._metas.append((name, content))
 
     # -- content -------------------------------------------------------
     def handle_data(self, data: str) -> None:
@@ -167,6 +180,9 @@ class _TextExtractor(HTMLParser):
         self._flush_anchor()  # a dangling <a> still yields its href
         return list(self._links)
 
+    def metas(self) -> list[tuple[str, str]]:
+        return list(self._metas)
+
 
 def extract_text_rich_py(html: bytes | str | None) -> str:
     """bytes/str HTML → newline-separated visible text (spec above).
@@ -204,6 +220,17 @@ def extract_links_py(html: bytes | str | None) -> list[tuple[str, str]]:
     url into absolute link targets.
     """
     return _parse(html).links()
+
+
+def extract_meta_py(html: bytes | str | None) -> list[tuple[str, str]]:
+    """HTML → ordered [(name, content)] for every ``<meta name content>``.
+
+    The page-directive surface a crawl pipeline gates on: robots
+    noindex/nofollow, description, generator, … Metas lacking either
+    attribute (e.g. ``<meta charset>``) contribute nothing; values have
+    charrefs decoded by the tokenizer.
+    """
+    return _parse(html).metas()
 
 
 def extract_blocks_py(html: bytes | str | None) -> list[tuple[str | None, str]]:

@@ -276,3 +276,44 @@ def pagerank_int(
             (F.lit(base) + F.coalesce("recv", F.lit(0))).cast("long").alias("rank"),
         )
     return ranks
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("meta_idx", LongType()),
+        StructField("name", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def html_meta(pages: DataFrame) -> DataFrame:
+    """pages(doc_id, html) → (doc_id, meta_idx, name, content).
+
+    The crawl-gating directive surface: robots noindex/nofollow,
+    description, generator, … A noindex filter is then a plain anti
+    join / NOT EXISTS on this frame — declarative, so Catalyst pushes
+    it wherever it helps. Same in-batch-explode shape as html_blocks.
+    """
+    from ..functions.htmltext import extract_meta_py
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "meta_idx": [], "name": [], "content": []}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for i, (name, content) in enumerate(extract_meta_py(html)):
+                    out["doc_id"].append(int(doc_id))
+                    out["meta_idx"].append(i)
+                    out["name"].append(name)
+                    out["content"].append(content)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "meta_idx": pd.Series(out["meta_idx"], dtype="int64"),
+                    "name": pd.Series(out["name"], dtype="object"),
+                    "content": pd.Series(out["content"], dtype="object"),
+                }
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(run, META_SCHEMA)

@@ -3423,3 +3423,16 @@ def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
     return pagerank_int(edges, docs, iters=3, cleanup=_CLEANUPS)
+
+
+@_register_extra("web_meta", fixtures_web.web_meta_sql())
+def web_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-directive extraction (operators/webtext.py:html_meta):
+    every <meta name content> with document order — description on all
+    pages, robots noindex on every 13th. Downstream noindex gating is a
+    plain anti join on this frame. Oracle rebuilds both directive kinds
+    arithmetically."""
+    from .operators.webtext import html_meta
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return html_meta(pages)

@@ -196,6 +196,34 @@ def test_blocks_oracle_matches_renderer():
     con.close()
 
 
+# ------------------------------------------------------------- meta
+def test_meta_extraction():
+    from rdf_to_text_spark.functions.htmltext import extract_meta_py
+
+    html = (
+        '<head><meta charset="utf-8">'
+        '<meta name="robots" content="noindex, nofollow">'
+        '<meta name="description" content="a &amp; b">'
+        '<meta content="orphan"><meta name="orphan2"></head>'
+    )
+    assert extract_meta_py(html) == [
+        ("robots", "noindex, nofollow"),
+        ("description", "a & b"),
+    ]
+    # XHTML self-closing form and skip-subtree gating
+    assert extract_meta_py('<meta name="x" content="y" />') == [("x", "y")]
+    assert extract_meta_py('<template><meta name="x" content="y"></template>') == []
+
+
+def test_meta_roundtrip_sweep():
+    from rdf_to_text_spark.functions.htmltext import extract_meta_py
+
+    for d in range(0, 1000, 13):
+        page = fixtures_web.render_rich_page_py(d)
+        assert extract_meta_py(page["html"]) == page["metas"], d
+        assert ("robots", "noindex") in page["metas"]  # every 13th doc
+
+
 # ------------------------------------------------------------- links
 def test_links_basic_and_entities():
     html = '<a href="/x?a=1&amp;b=2">first <b>link</b></a><a href="/y">two</a>'
