@@ -200,6 +200,13 @@ def rich_pages_from_range(
     return _pages_df(docs)
 
 
+def _pad8(expr: str) -> str:
+    """Zero-pad to a MINIMUM of 8 digits — unlike lpad, which TRUNCATES
+    longer strings and would corrupt urls for doc ids >= 10^8."""
+    c = f"CAST({expr} AS VARCHAR)"
+    return f"CASE WHEN length({c}) >= 8 THEN {c} ELSE lpad({c}, 8, '0') END"
+
+
 def _web_cte() -> str:
     """Shared WITH-body: gold_cte + per-sentence rendered text + doc
     category — everything both web oracles build on."""
@@ -258,9 +265,9 @@ def rich_text_sql(with_meta: bool = False) -> str:
     nl = "chr(10)"
     footer = _FOOTER_TEXT.replace("'", "''")
     meta_cols = (
-        """
+        f"""
        'https://synth.example/' || c.scat || '/'
-         || lpad(CAST(b.doc_id AS VARCHAR), 8, '0') AS url,
+         || {_pad8('b.doc_id')} AS url,
        strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(b.doc_id),
                 '%Y-%m-%d %H:%M:%S') AS warc_ts,"""
         if with_meta
@@ -339,7 +346,7 @@ FROM (
   FROM dcat
   UNION ALL
   SELECT doc_id, 1 + k,
-         '/' || jcat || '/' || lpad(CAST(j AS VARCHAR), 8, '0'),
+         '/' || jcat || '/' || {_pad8('j')},
          'Doc ' || CAST(j AS VARCHAR)
   FROM relc
 )"""

@@ -57,36 +57,42 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
-def html_blocks(pages: DataFrame) -> DataFrame:
-    """pages(doc_id, html) → exploded (doc_id, block_idx, tag, text).
+def _exploded(pages: DataFrame, in_cols: list, schema: StructType, per_doc):
+    """Shared in-batch-explode stage for the per-page extractors.
 
-    One narrow mapInPandas stage; the explode happens inside the Arrow
-    batch (pandas concat), so no Spark-side explode/shuffle. Rows keep
-    document order via block_idx.
+    One narrow mapInPandas over `in_cols`; `per_doc(*row)` yields output
+    tuples in schema order. The explode happens inside the Arrow batch
+    (plain list accumulation), so no Spark-side explode/shuffle, and
+    rows keep document order via the index columns each extractor emits.
     """
+    names = [f.name for f in schema.fields]
+    dtypes = {
+        f.name: ("int64" if isinstance(f.dataType, LongType) else "object")
+        for f in schema.fields
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc: list[int] = []
-            out_idx: list[int] = []
-            out_tag: list[str | None] = []
-            out_txt: list[str] = []
-            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
-                for i, (tag, line) in enumerate(extract_blocks_py(html)):
-                    out_doc.append(int(doc_id))
-                    out_idx.append(i)
-                    out_tag.append(tag)
-                    out_txt.append(line)
+            cols: dict[str, list] = {n: [] for n in names}
+            for row in zip(*(pdf[c] for c in in_cols)):
+                for out in per_doc(*row):
+                    for n, v in zip(names, out):
+                        cols[n].append(v)
             yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "block_idx": pd.Series(out_idx, dtype="int64"),
-                    "tag": pd.Series(out_tag, dtype="object"),
-                    "text": pd.Series(out_txt, dtype="object"),
-                }
+                {n: pd.Series(cols[n], dtype=dtypes[n]) for n in names}
             )
 
-    return pages.select("doc_id", "html").mapInPandas(run, BLOCKS_SCHEMA)
+    return pages.select(*in_cols).mapInPandas(run, schema)
+
+
+def html_blocks(pages: DataFrame) -> DataFrame:
+    """pages(doc_id, html) → exploded (doc_id, block_idx, tag, text)."""
+
+    def per_doc(doc_id, html):
+        for i, (tag, line) in enumerate(extract_blocks_py(html)):
+            yield int(doc_id), i, tag, line
+
+    return _exploded(pages, ["doc_id", "html"], BLOCKS_SCHEMA, per_doc)
 
 
 def extract_triples_from_rich_html(
@@ -150,36 +156,18 @@ def html_links(pages: DataFrame) -> DataFrame:
     """
     from urllib.parse import urljoin
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_doc: list[int] = []
-            out_idx: list[int] = []
-            out_href: list[str] = []
-            out_res: list[str] = []
-            out_anchor: list[str] = []
-            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
-                for i, (href, anchor) in enumerate(extract_links_py(html)):
-                    out_doc.append(int(doc_id))
-                    out_idx.append(i)
-                    out_href.append(href)
-                    out_res.append(urljoin(url or "", href))
-                    out_anchor.append(anchor)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "link_idx": pd.Series(out_idx, dtype="int64"),
-                    "href": pd.Series(out_href, dtype="object"),
-                    "resolved": pd.Series(out_res, dtype="object"),
-                    "anchor": pd.Series(out_anchor, dtype="object"),
-                }
-            )
+    def per_doc(doc_id, url, html):
+        for i, (href, anchor) in enumerate(extract_links_py(html)):
+            yield int(doc_id), i, href, urljoin(url or "", href), anchor
 
-    return pages.select("doc_id", "url", "html").mapInPandas(run, LINKS_SCHEMA)
+    return _exploded(pages, ["doc_id", "url", "html"], LINKS_SCHEMA, per_doc)
 
 
 # Absolute link targets that follow the corpus url scheme resolve to an
 # in-corpus doc_id; everything else is an out-of-crawl edge endpoint.
-_CORPUS_URL_RX = r"^https://synth\.example/[A-Za-z]+/(\d{8})$"
+# \d{8,}: the url renderer pads to a MINIMUM of 8 digits, so doc ids
+# >= 10^8 produce longer runs — an anchored {8} would silently drop them
+_CORPUS_URL_RX = r"^https://synth\.example/[A-Za-z]+/(\d{8,})$"
 
 
 def link_edges(pages: DataFrame, docs: DataFrame) -> DataFrame:
@@ -198,17 +186,24 @@ def link_edges(pages: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def link_degrees(pages: DataFrame, docs: DataFrame) -> DataFrame:
+def link_degrees(
+    pages: DataFrame, docs: DataFrame, cleanup: list | None = None
+) -> DataFrame:
     """In-corpus link-graph degrees: (doc_id, out_links, in_links).
 
     Scale shape: the link explode is the narrow html_links stage; then
     the edges⋈ids hash join and two partial-aggregated groupBys — the
     canonical web-graph degree plan (shuffles on doc_id only,
     combiner-friendly counts, no skew beyond the graph's own in-degree
-    distribution, which AQE skew-split absorbs at scale).
+    distribution, which AQE skew-split absorbs at scale). The edge
+    frame is persisted (handle → `cleanup`, house contract): the two
+    differently-keyed aggregations would otherwise each re-run the
+    dominant HTML-tokenize stage.
     """
     ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-    edges = link_edges(pages, docs)
+    edges = link_edges(pages, docs).persist()
+    if cleanup is not None:
+        cleanup.append(edges)
     outd = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").alias("out_links")
     )
@@ -256,10 +251,13 @@ def pagerank_int(
     same as link_degrees.
     """
     ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    # persist the raw edges FIRST: deg and the deg-join below would each
+    # re-execute the upstream extraction lineage otherwise
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src").persist()
     if cleanup is not None:
-        cleanup.append(e)
+        cleanup.extend([edges, e])
     base = total * 15 // 100
     ranks = ids.withColumn("rank", F.lit(total).cast("long"))
     for _ in range(iters):
@@ -298,22 +296,8 @@ def html_meta(pages: DataFrame) -> DataFrame:
     """
     from ..functions.htmltext import extract_meta_py
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {"doc_id": [], "meta_idx": [], "name": [], "content": []}
-            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
-                for i, (name, content) in enumerate(extract_meta_py(html)):
-                    out["doc_id"].append(int(doc_id))
-                    out["meta_idx"].append(i)
-                    out["name"].append(name)
-                    out["content"].append(content)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "meta_idx": pd.Series(out["meta_idx"], dtype="int64"),
-                    "name": pd.Series(out["name"], dtype="object"),
-                    "content": pd.Series(out["content"], dtype="object"),
-                }
-            )
+    def per_doc(doc_id, html):
+        for i, (name, content) in enumerate(extract_meta_py(html)):
+            yield int(doc_id), i, name, content
 
-    return pages.select("doc_id", "html").mapInPandas(run, META_SCHEMA)
+    return _exploded(pages, ["doc_id", "html"], META_SCHEMA, per_doc)

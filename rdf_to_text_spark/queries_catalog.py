@@ -3323,7 +3323,7 @@ def web_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webtext import link_degrees
 
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
-    return link_degrees(pages, _docs(spark, sf_dir))
+    return link_degrees(pages, _docs(spark, sf_dir), cleanup=_CLEANUPS)
 
 
 @_register_extra("warc_roundtrip", fixtures_web.rich_text_sql(with_meta=True))
@@ -3372,7 +3372,7 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_warc(spark, f"{work}/*.warc.gz")
         res = (
             out.select(
-                F.regexp_extract("url", r"/(\d{8})$", 1).cast("long").alias("doc_id"),
+                F.regexp_extract("url", r"/(\d{8,})$", 1).cast("long").alias("doc_id"),
                 "url",
                 F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
                 extract_rich_udf("html").alias("text"),

@@ -50,19 +50,6 @@ _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream to one buffer."""
-    out = io.BytesIO()
-    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-        # GzipFile reads concatenated members until EOF
-        while True:
-            chunk = gz.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-    return out.getvalue()
-
-
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """WARC bytes (plain or gzip) → [{url, warc_date, html}] for every
     ``response`` record. Non-response records (warcinfo, request,
@@ -70,7 +57,9 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     from the payload. Lenient: a malformed tail ends the scan rather
     than raising."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        # stdlib gzip.decompress consumes concatenated members to EOF —
+        # exactly the CC multi-member .warc.gz layout
+        data = gzip.decompress(data)
     records: list[dict] = []
     pos = 0
     n = len(data)

@@ -301,7 +301,10 @@ def test_html_links_operator_and_degrees(spark):
     assert got == exp
 
     docs = spark.range(n).withColumnRenamed("id", "doc_id")
-    deg = link_degrees(pages, docs).toPandas().set_index("doc_id")
+    cleanup: list = []
+    deg = link_degrees(pages, docs, cleanup=cleanup).toPandas().set_index("doc_id")
+    for h in cleanup:
+        h.unpersist()
     assert len(deg) == n
     for d in range(n):
         assert int(deg.loc[d, "out_links"]) == outd[d], d
