@@ -159,6 +159,7 @@ def main() -> None:
             "web_link_components",
             "web_pagerank",
             "web_meta",
+            "warc_stream_ingest",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

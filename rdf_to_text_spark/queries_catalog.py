@@ -3326,28 +3326,11 @@ def web_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_degrees(pages, _docs(spark, sf_dir), cleanup=_CLEANUPS)
 
 
-@_register_extra("warc_roundtrip", fixtures_web.rich_text_sql(with_meta=True))
-def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S-family, Common-Crawl's real container: rich pages are written
-    executor-side into per-partition ``.warc.gz`` files (one gzip
-    member per record — the CC layout, sources/warc.py:write_warc_py),
-    read back through the REAL binaryFile-scan reader (read_warc), and
-    the text re-extracted. The oracle rebuilds doc_id, url, warc_ts
-    AND the full extracted text from arithmetic — WARC headers, HTTP
-    header stripping, multi-member gzip, and timestamp parsing are all
-    under the hash. Scratch dir is driver-local (fine on local mode;
-    a cluster writer targets shared storage — the writer fn is the
-    only line that changes)."""
-    import shutil
-    import tempfile
-
-    from .functions.htmltext import extract_rich_udf
-    from .sources.warc import read_warc, write_warc_py
-
-    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
-        4, "doc_id"
-    )
-    work = tempfile.mkdtemp(prefix="warc_rt_")
+def _write_warc_files(pages: DataFrame, work: str) -> None:
+    """Write pages as per-partition ``.warc.gz`` files (one gzip member
+    per record — the CC layout), executor-side; WARC-Date derives from
+    doc_id (base 2024-01-01 + doc_id seconds, the fixture convention)."""
+    from .sources.warc import write_warc_py
 
     def writer(batches):
         import pandas as pd
@@ -3367,8 +3350,33 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(write_warc_py(recs, gzip_records=True))
         yield pd.DataFrame({"n": [len(recs)]})
 
+    pages.mapInPandas(writer, "n long").count()
+
+
+@_register_extra("warc_roundtrip", fixtures_web.rich_text_sql(with_meta=True))
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family, Common-Crawl's real container: rich pages are written
+    executor-side into per-partition ``.warc.gz`` files (one gzip
+    member per record — the CC layout, sources/warc.py:write_warc_py),
+    read back through the REAL binaryFile-scan reader (read_warc), and
+    the text re-extracted. The oracle rebuilds doc_id, url, warc_ts
+    AND the full extracted text from arithmetic — WARC headers, HTTP
+    header stripping, multi-member gzip, and timestamp parsing are all
+    under the hash. Scratch dir is driver-local (fine on local mode;
+    a cluster writer targets shared storage — the writer fn is the
+    only line that changes)."""
+    import shutil
+    import tempfile
+
+    from .functions.htmltext import extract_rich_udf
+    from .sources.warc import read_warc
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
+        4, "doc_id"
+    )
+    work = tempfile.mkdtemp(prefix="warc_rt_")
     try:
-        pages.mapInPandas(writer, "n long").count()
+        _write_warc_files(pages, work)
         out = read_warc(spark, f"{work}/*.warc.gz")
         res = (
             out.select(
@@ -3436,3 +3444,58 @@ def web_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
     return html_meta(pages)
+
+
+@_register_extra("warc_stream_ingest", fixtures_web.rich_text_sql(with_meta=True))
+def warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingest: the SAME ``.warc.gz`` files as
+    warc_roundtrip, but tailed through the Structured Streaming
+    binaryFile source (sources/warc.py:stream_warc) at
+    maxFilesPerTrigger=1 — 4 files ⇒ ≥2 micro-batches asserted from
+    progress events — parsed with the shared Arrow kernel, re-extracted,
+    and committed through a checkpointed exactly-once parquet sink.
+    Hash-matching the batch oracle makes stream ≡ batch a checked fact
+    for the crawl-container front door, not only for the parquet page
+    source (kg_extract_triples_stream)."""
+    import shutil
+    import tempfile
+
+    from .functions.htmltext import extract_rich_udf
+    from .sources.warc import stream_warc
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
+        4, "doc_id"
+    )
+    work = tempfile.mkdtemp(prefix="warc_stream_")
+    try:
+        _write_warc_files(pages, work)
+        stream = stream_warc(spark, work, max_files_per_trigger=1)
+        out = stream.select(
+            F.regexp_extract("url", r"/(\d{8,})$", 1).cast("long").alias("doc_id"),
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+            extract_rich_udf("html").alias("text"),
+        ).withColumn("n_lines", F.size(F.split("text", "\n")).cast("long"))
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        if n_batches < 2:
+            raise RuntimeError(
+                f"warc stream collapsed to {n_batches} micro-batch(es)"
+            )
+        pdf = spark.read.parquet(f"{work}/out").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf[["doc_id", "url", "warc_ts", "text", "n_lines"]],
+        "doc_id long, url string, warc_ts string, text string, n_lines long",
+    )

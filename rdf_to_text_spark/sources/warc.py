@@ -130,6 +130,24 @@ def write_warc_py(
     return out.getvalue()
 
 
+def _parse_content_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch kernel shared by the batch and streaming readers."""
+    for pdf in batches:
+        rows: list[dict] = []
+        for content in pdf["content"]:
+            rows.extend(parse_warc_bytes(bytes(content)))
+        ts = pd.to_datetime(
+            [r["warc_date"] for r in rows], utc=True, errors="coerce"
+        ).tz_localize(None)
+        yield pd.DataFrame(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": ts,
+                "html": [r["html"] for r in rows],
+            }
+        )
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files → pages(url, warc_ts, html).
 
@@ -138,21 +156,37 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     to a naive UTC timestamp.
     """
     files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("content").mapInPandas(
+        _parse_content_batches, WARC_PAGES_SCHEMA
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[dict] = []
-            for content in pdf["content"]:
-                rows.extend(parse_warc_bytes(bytes(content)))
-            ts = pd.to_datetime(
-                [r["warc_date"] for r in rows], utc=True, errors="coerce"
-            ).tz_localize(None)
-            yield pd.DataFrame(
-                {
-                    "url": [r["url"] for r in rows],
-                    "warc_ts": ts,
-                    "html": [r["html"] for r in rows],
-                }
-            )
 
-    return files.select("content").mapInPandas(run, WARC_PAGES_SCHEMA)
+def stream_warc(
+    spark: SparkSession,
+    path_dir: str,
+    max_files_per_trigger: int = 1,
+    glob_filter: str = "*.warc.gz",
+) -> DataFrame:
+    """Streaming WARC ingest: the continuous-crawl front door.
+
+    The SAME parse kernel as :func:`read_warc` over the binaryFile
+    *stream* source — new ``.warc.gz`` files appearing in `path_dir`
+    become micro-batches (`maxFilesPerTrigger` files each; keep it
+    below the file count to really exercise multi-batch commits).
+    Downstream extraction lifts unchanged (narrow maps), so a crawl
+    bucket can be tailed into the triple store with exactly-once
+    parquet sinks — the `warc_stream_ingest` catalog query drives this
+    end-to-end under the batch oracle.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's schema is fixed, but the STREAM reader
+        # requires it stated explicitly (no inference on streams)
+        .schema("path string, modificationTime timestamp, length bigint, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob_filter)
+        .load(path_dir)
+    )
+    return files.select("content").mapInPandas(
+        _parse_content_batches, WARC_PAGES_SCHEMA
+    )

@@ -74,3 +74,34 @@ def test_spark_read_warc(spark, tmp_path):
         url, date, html = by_url[row.url]
         assert bytes(row.html) == html
         assert row.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == date
+
+
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """stream_warc over the same files yields the same page set as
+    read_warc, across >1 micro-batch."""
+    from rdf_to_text_spark.sources.warc import stream_warc
+
+    recs = _recs(24)
+    for i in range(3):
+        part = recs[i * 8 : (i + 1) * 8]
+        (tmp_path / f"p{i}.warc.gz").write_bytes(write_warc_py(part))
+    batch = {
+        (r.url, bytes(r.html))
+        for r in read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    }
+    q = (
+        stream_warc(spark, str(tmp_path), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("warc_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0)
+    assert n_batches >= 2, n_batches
+    streamed = {
+        (r.url, bytes(r.html))
+        for r in spark.sql("SELECT * FROM warc_stream_test").collect()
+    }
+    assert streamed == batch and len(batch) == 24
