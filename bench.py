@@ -160,6 +160,7 @@ def main() -> None:
             "web_pagerank",
             "web_meta",
             "warc_stream_ingest",
+            "web_page_profile",
         ),
         # the stream query writes its own scratch corpus + checkpoint and
         # runs a multi-batch availableNow stream each call — once is the

@@ -440,3 +440,16 @@ FROM (
   UNION ALL
   SELECT doc_id, 1, 'robots', 'noindex' FROM dcat WHERE doc_id % 13 = 0
 )"""
+
+
+def web_page_profile_sql() -> str:
+    """Oracle: per-page profile counts off the parse-once frame —
+    every count is closed-form doc_id arithmetic (n_blocks = 5 + n_sent
+    + n_out; n_links = 1 + n_out; n_metas = 1 + [d % 13 = 0])."""
+    return f"""WITH {_web_cte()}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(5 + (1 + d.doc_id % 3) + (1 + (d.doc_id*7 + 3) % 4) AS BIGINT) AS n_blocks,
+       CAST(1 + 1 + (d.doc_id*7 + 3) % 4 AS BIGINT) AS n_links,
+       CAST(1 + CASE WHEN d.doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_metas,
+       CAST(5 + (1 + d.doc_id % 3) + (1 + (d.doc_id*7 + 3) % 4) AS BIGINT) AS n_lines
+FROM documents d"""

@@ -233,6 +233,23 @@ def extract_meta_py(html: bytes | str | None) -> list[tuple[str, str]]:
     return _parse(html).metas()
 
 
+def parse_all_py(html: bytes | str | None) -> dict:
+    """ONE tokenizer pass → every view: text, blocks, links, metas.
+
+    The 100 TB contract: the corpus is tokenized exactly once. The
+    separate extract_*_py functions exist for single-view callers and
+    tests; production page profiling goes through here (see
+    operators/webtext.py:parse_pages).
+    """
+    p = _parse(html)
+    return {
+        "text": p.text(),
+        "blocks": p.blocks(),
+        "links": p.links(),
+        "metas": p.metas(),
+    }
+
+
 def extract_blocks_py(html: bytes | str | None) -> list[tuple[str | None, str]]:
     """HTML → ordered [(container_tag, line)] — text + block provenance.
 

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -301,3 +302,81 @@ def html_meta(pages: DataFrame) -> DataFrame:
             yield int(doc_id), i, name, content
 
     return _exploded(pages, ["doc_id", "html"], META_SCHEMA, per_doc)
+
+
+def _struct(**fields) -> StructType:
+    return StructType([StructField(k, v) for k, v in fields.items()])
+
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField(
+            "blocks", ArrayType(_struct(tag=StringType(), text=StringType()))
+        ),
+        StructField(
+            "links",
+            ArrayType(
+                _struct(
+                    href=StringType(), resolved=StringType(), anchor=StringType()
+                )
+            ),
+        ),
+        StructField(
+            "metas", ArrayType(_struct(name=StringType(), content=StringType()))
+        ),
+    ]
+)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """Parse-once page profiling: ONE tokenizer pass per page → every
+    view as nested columns (text, tagged blocks, resolved links, meta
+    directives).
+
+    This is the production shape at 100 TB: the corpus is tokenized
+    exactly once, then each downstream consumer (main-content filter,
+    link-graph build, directive gating, quality scoring) is a
+    projection/explode of the parsed frame — Catalyst prunes the nested
+    fields a consumer doesn't touch, and nothing re-pays the parse.
+    The single-view operators (html_blocks/html_links/html_meta) remain
+    for callers that want exactly one view without nested types.
+    """
+    from urllib.parse import urljoin
+
+    from ..functions.htmltext import parse_all_py
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {n: [] for n in ("doc_id", "url", "text", "blocks", "links", "metas")}
+            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                views = parse_all_py(html)
+                rows["doc_id"].append(int(doc_id))
+                rows["url"].append(url)
+                rows["text"].append(views["text"])
+                rows["blocks"].append(
+                    [{"tag": t, "text": x} for t, x in views["blocks"]]
+                )
+                rows["links"].append(
+                    [
+                        {"href": h, "resolved": urljoin(url or "", h), "anchor": a}
+                        for h, a in views["links"]
+                    ]
+                )
+                rows["metas"].append(
+                    [{"name": n, "content": c} for n, c in views["metas"]]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "url": pd.Series(rows["url"], dtype="object"),
+                    "text": pd.Series(rows["text"], dtype="object"),
+                    "blocks": pd.Series(rows["blocks"], dtype="object"),
+                    "links": pd.Series(rows["links"], dtype="object"),
+                    "metas": pd.Series(rows["metas"], dtype="object"),
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(run, PARSED_SCHEMA)

@@ -3499,3 +3499,22 @@ def warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf[["doc_id", "url", "warc_ts", "text", "n_lines"]],
         "doc_id long, url string, warc_ts string, text string, n_lines long",
     )
+
+
+@_register_extra("web_page_profile", fixtures_web.web_page_profile_sql())
+def web_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-once profiling (operators/webtext.py:parse_pages): ONE
+    tokenizer pass yields text + blocks + links + metas as nested
+    columns; this query projects the per-view counts, each of which the
+    oracle states in closed form. Also pins the structural invariant
+    n_blocks == n_lines (blocks and text lines are the same fold)."""
+    from .operators.webtext import parse_pages
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return parse_pages(pages).select(
+        "doc_id",
+        F.size("blocks").cast("long").alias("n_blocks"),
+        F.size("links").cast("long").alias("n_links"),
+        F.size("metas").cast("long").alias("n_metas"),
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+    )

@@ -388,3 +388,25 @@ def test_udf_equals_python(spark):
     assert len(got) == 64
     for d in range(64):
         assert got[d] == fixtures_web.render_rich_page_py(d)["text"], d
+
+
+def test_parse_pages_nested_views(spark):
+    """Parse-once frame: the nested blocks/links/metas columns carry
+    the SAME content as the per-view extractors and the fixture spec."""
+    from urllib.parse import urljoin
+
+    from rdf_to_text_spark.operators.webtext import parse_pages
+
+    n = 30
+    pages = fixtures_web.rich_pages_from_range(spark, n, partitions=3)
+    rows = {r.doc_id: r for r in parse_pages(pages).collect()}
+    assert len(rows) == n
+    for d in range(n):
+        page = fixtures_web.render_rich_page_py(d)
+        r = rows[d]
+        assert r.text == page["text"]
+        assert [(b.tag, b.text) for b in r.blocks] == page["blocks"]
+        assert [(x.href, x.resolved, x.anchor) for x in r.links] == [
+            (h, urljoin(page["url"], h), a) for h, a in page["links"]
+        ]
+        assert [(m.name, m.content) for m in r.metas] == page["metas"]
