@@ -162,10 +162,10 @@ def main() -> None:
             "warc_stream_ingest",
             "web_page_profile",
         ),
-        # the stream query writes its own scratch corpus + checkpoint and
-        # runs a multi-batch availableNow stream each call — once is the
-        # honest harness-inclusive number
-        {"dedup_minhash_stream": 1},
+        # the stream queries write their own scratch corpus + checkpoint
+        # and run a multi-batch availableNow stream each call — once is
+        # the honest harness-inclusive number
+        {"dedup_minhash_stream": 1, "warc_stream_ingest": 1},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force
