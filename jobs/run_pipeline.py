@@ -31,7 +31,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages table path (parquet dir)")
+    ap.add_argument("--warc", help="ingest a dir of .warc/.warc.gz files instead of parquet")
     ap.add_argument("--synthetic", type=int, default=0, help="render N synthetic pages instead")
+    ap.add_argument(
+        "--rich-html",
+        action="store_true",
+        help="pages carry REAL html: run the block-filter front end "
+        "(tokenize → tagged blocks → <p> main content → extraction) "
+        "instead of trusting a pre-extracted text column; with "
+        "--synthetic, renders realistic pages (fixtures_web)",
+    )
+    ap.add_argument(
+        "--assume-lang",
+        default="en",
+        help="lang column for --warc input (WARC records carry no lang; "
+        "plug text_analysis.lang_id on the extracted text to detect "
+        "instead of assuming)",
+    )
     ap.add_argument("--output", required=True, help="output base dir (edges/ lineage/)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--master", default=None)
@@ -51,13 +67,39 @@ def main() -> int:
     spark = get_spark(app_name="kg_pipeline", master=args.master)
     t0 = time.time()
     if args.synthetic:
-        pages = fixtures.pages_from_range(spark, args.synthetic)
+        if args.rich_html:
+            from rdf_to_text_spark import fixtures_web
+
+            pages = fixtures_web.rich_pages_from_range(spark, args.synthetic)
+        else:
+            pages = fixtures.pages_from_range(spark, args.synthetic)
+    elif args.warc:
+        from pyspark.sql import functions as F
+
+        from rdf_to_text_spark.sources.warc import read_warc
+
+        # crawl front door: WARC records have (url, warc_ts, html); the
+        # chunker needs a doc_id (stable url hash — pmod handles sign)
+        # and the extraction gate a lang column
+        pages = (
+            read_warc(spark, args.warc)
+            .withColumn("doc_id", F.xxhash64("url"))
+            .withColumn("lang", F.lit(args.assume_lang))
+        )
+        args.rich_html = True  # WARC payloads are always real html
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
-        ap.error("need --pages or --synthetic")
+        ap.error("need --pages, --warc or --synthetic")
 
-    results = run_resumable(spark, pages, args.output, n_chunks=args.chunks)
+    extract = None
+    if args.rich_html:
+        from rdf_to_text_spark.operators.webtext import extract_triples_from_rich_html
+
+        extract = extract_triples_from_rich_html
+    results = run_resumable(
+        spark, pages, args.output, n_chunks=args.chunks, extract=extract
+    )
     sink = BucketedParquetMerge(spark, args.output)
     summary = {
         "chunks_run": [r["chunk_id"] for r in results],

@@ -45,3 +45,43 @@ def test_run_pipeline_synthetic_canonicalize(spark):
             assert canonical in surfaces
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_run_pipeline_warc_ingest(spark):
+    """Crawl front door through the CLI: .warc.gz files in → block-filter
+    rich extraction → chunked resumable sink. Expected triple count is
+    the fixture gold over ALL docs (--assume-lang en admits the xx
+    pages too — their sentences are rendered from the same templates)."""
+    from rdf_to_text_spark import fixtures_web
+    from rdf_to_text_spark.fixtures import render_page_py
+    from rdf_to_text_spark.sources.warc import write_warc_py
+
+    n = 120
+    expected = sum(len(render_page_py(d)["gold"]) for d in range(n))
+    out_dir = tempfile.mkdtemp(prefix="kgcli_warc_out_")
+    warc_dir = tempfile.mkdtemp(prefix="kgcli_warc_in_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        for i in range(3):
+            recs = []
+            for d in range(i * 40, (i + 1) * 40):
+                page = fixtures_web.render_rich_page_py(d)
+                recs.append((page["url"], f"2024-01-01T00:00:{d % 60:02d}Z", page["html"]))
+            with open(os.path.join(warc_dir, f"p{i}.warc.gz"), "wb") as f:
+                f.write(write_warc_py(recs))
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--warc", warc_dir, "--output", out_dir,
+                "--chunks", "2", "--master", "local[4]",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert sorted(summary["chunks_run"]) == [0, 1]
+        assert summary["n_triples_written"] == expected, summary
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(warc_dir, ignore_errors=True)
