@@ -161,6 +161,7 @@ def main() -> None:
             "web_meta",
             "warc_stream_ingest",
             "web_page_profile",
+            "crawl_latest_snapshot",
         ),
         # the stream queries write their own scratch corpus + checkpoint
         # and run a multi-batch availableNow stream each call — once is

@@ -453,3 +453,17 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(1 + CASE WHEN d.doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_metas,
        CAST(5 + (1 + d.doc_id % 3) + (1 + (d.doc_id*7 + 3) % 4) AS BIGINT) AS n_lines
 FROM documents d"""
+
+
+def crawl_snapshot_sql() -> str:
+    """Oracle for crawl_latest_snapshot: every 5th page is re-crawled a
+    day later, so the kept capture and version count are closed-form."""
+    return f"""WITH {_web_cte()}
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       'https://synth.example/' || c.scat || '/' || {_pad8('c.doc_id')} AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds(c.doc_id
+                             + CASE WHEN c.doc_id % 5 = 0 THEN 86400 ELSE 0 END),
+                '%Y-%m-%d %H:%M:%S') AS kept_ts,
+       CAST(CASE WHEN c.doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_versions
+FROM dcat c"""

@@ -380,3 +380,33 @@ def parse_pages(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("doc_id", "url", "html").mapInPandas(run, PARSED_SCHEMA)
+
+
+def latest_snapshot(
+    pages: DataFrame, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Crawl snapshot compaction: keep the LATEST capture per `key`.
+
+    The CDX dedup every multi-crawl corpus needs before processing —
+    re-crawled urls appear once per crawl; downstream wants one row per
+    page. One shuffle on the key (window partition), ordered ts desc;
+    capture timestamps are strictly increasing per (url, crawl), so the
+    order is total — callers with same-second captures should add their
+    own content-hash tiebreak column to `ts`. Adds `n_versions`
+    (captures seen for the key), which freshness/quality scoring
+    consumes downstream.
+
+    Scale: partitionBy(key) is the canonical compaction shuffle;
+    per-url capture counts are tiny (single digits), so no skew beyond
+    hot hosts — and the key is the full url, not the host.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    wc = Window.partitionBy(key)
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -3518,3 +3518,32 @@ def web_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("metas").cast("long").alias("n_metas"),
         F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
     )
+
+
+@_register_extra("crawl_latest_snapshot", fixtures_web.crawl_snapshot_sql())
+def crawl_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compaction (operators/webtext.py:latest_snapshot): two
+    crawl generations — every page captured at base+doc_id seconds,
+    every 5th RE-captured a day later — compacted to the latest capture
+    per url with its version count. The CDX dedup step every multi-crawl
+    corpus runs before processing; oracle states kept_ts and n_versions
+    in closed form."""
+    from .operators.webtext import latest_snapshot
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).select(
+        "doc_id", "url"
+    )
+    crawl1 = pages.withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
+    )
+    crawl2 = pages.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id") + F.lit(86400))
+    )
+    kept = latest_snapshot(crawl1.unionByName(crawl2))
+    return kept.select(
+        "doc_id",
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("kept_ts"),
+        "n_versions",
+    )
