@@ -76,13 +76,20 @@ def main() -> int:
     elif args.warc:
         from pyspark.sql import functions as F
 
+        from rdf_to_text_spark.operators.webtext import latest_snapshot
         from rdf_to_text_spark.sources.warc import read_warc
 
-        # crawl front door: WARC records have (url, warc_ts, html); the
-        # chunker needs a doc_id (stable url hash — pmod handles sign)
-        # and the extraction gate a lang column
+        # crawl front door: WARC records have (url, warc_ts, html).
+        # Multi-crawl input carries several captures per url, and
+        # doc_id below is a url hash — compact to the latest capture
+        # FIRST (payload-hash tiebreak for same-second captures), or
+        # every capture of a url would share one doc_id and flow
+        # through extraction as duplicate triples/lineage. The chunker
+        # needs a doc_id (stable url hash — pmod handles sign) and the
+        # extraction gate a lang column.
         pages = (
-            read_warc(spark, args.warc)
+            latest_snapshot(read_warc(spark, args.warc))
+            .drop("n_versions")
             .withColumn("doc_id", F.xxhash64("url"))
             .withColumn("lang", F.lit(args.assume_lang))
         )

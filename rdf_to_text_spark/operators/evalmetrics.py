@@ -725,6 +725,7 @@ def meteor_stats(
     beam: int = 20,
     stem_match: bool = False,
     synonyms: "DataFrame | dict | None" = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Per-sentence METEOR-analog integer stats against the BEST
     reference: (id, m, m_stem, m_syn, chunks, hyp_len, ref_len).
@@ -811,15 +812,26 @@ def meteor_stats(
     else:
         if isinstance(synonyms, DataFrame):
             # dictionary-sized by contract (docstring): collected and
-            # broadcast exactly like the S5 alias/vocab dictionaries
+            # broadcast exactly like the S5 alias/vocab dictionaries.
+            # A word mapped to several classes would make the alignment
+            # depend on collect order — resolve to the MIN class
+            # (deterministic on any engine) before building the dict.
             cols = synonyms.columns
             syn_dict = {
-                r[0]: r[1] for r in synonyms.select(cols[0], cols[1]).collect()
+                r[0]: r[1]
+                for r in synonyms.groupBy(F.col(cols[0]))
+                .agg(F.min(F.col(cols[1])))
+                .collect()
             }
         else:
             syn_dict = dict(synonyms)
         spark = SparkSession.getActiveSession()
         syn_bc = spark.sparkContext.broadcast(syn_dict)
+        if cleanup is not None:
+            # house contract (ranking.py/dedup.py): caller releases
+            # after materialization; .unpersist() on a Broadcast frees
+            # the executor copies without invalidating the handle
+            cleanup.append(syn_bc)
 
     def run(batches):
         syn = syn_bc.value if syn_bc is not None else None

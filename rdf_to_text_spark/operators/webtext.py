@@ -383,26 +383,35 @@ def parse_pages(pages: DataFrame) -> DataFrame:
 
 
 def latest_snapshot(
-    pages: DataFrame, key: str = "url", ts: str = "warc_ts"
+    pages: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    tiebreak_col: str | None = "html",
 ) -> DataFrame:
     """Crawl snapshot compaction: keep the LATEST capture per `key`.
 
     The CDX dedup every multi-crawl corpus needs before processing —
     re-crawled urls appear once per crawl; downstream wants one row per
-    page. One shuffle on the key (window partition), ordered ts desc;
-    capture timestamps are strictly increasing per (url, crawl), so the
-    order is total — callers with same-second captures should add their
-    own content-hash tiebreak column to `ts`. Adds `n_versions`
-    (captures seen for the key), which freshness/quality scoring
-    consumes downstream.
+    page. One shuffle on the key (window partition), ordered ts desc.
+    Capture timestamps within one crawl are strictly increasing per
+    url, but ACROSS crawls same-second captures happen; `tiebreak_col`
+    (default the html payload) is hashed into a deterministic second
+    sort key so the kept row never depends on shuffle arrival order.
+    Pass ``tiebreak_col=None`` to opt out (callers whose ts is already
+    total). Adds `n_versions` (captures seen for the key), which
+    freshness/quality scoring consumes downstream.
 
     Scale: partitionBy(key) is the canonical compaction shuffle;
     per-url capture counts are tiny (single digits), so no skew beyond
-    hot hosts — and the key is the full url, not the host.
+    hot hosts — and the key is the full url, not the host. The
+    tiebreak hash is a narrow projection, no extra shuffle.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    order = [F.col(ts).desc()]
+    if tiebreak_col is not None and tiebreak_col in pages.columns:
+        order.append(F.xxhash64(tiebreak_col).desc())
+    w = Window.partitionBy(key).orderBy(*order)
     wc = Window.partitionBy(key)
     return (
         pages.withColumn("_rn", F.row_number().over(w))

@@ -53,7 +53,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CLEANUPS: list = []
 
 
-def release_caches() -> None:
+def release_caches(evict_session_caches: bool = False) -> None:
     """Unpersist every cache accumulated since the last call. Only safe
     AFTER the DataFrames returned by the queries have been materialized
     (count/collect/toPandas) — unpersisting earlier just re-runs the
@@ -61,13 +61,33 @@ def release_caches() -> None:
     release, returned DataFrames must not be re-executed — rank outputs
     would resample repartitionByRange boundaries against a frozen
     offset map (see functions/ranking.py's cleanup contract; pass
-    pin_result=True there for re-executable results)."""
+    pin_result=True there for re-executable results).
+
+    ``evict_session_caches=True`` additionally drains the session-
+    lifetime caches (`_TRIPLES_CACHE` persisted frames and
+    `_STREAM_PAGES_CACHE` scratch dirs). Default keep: the driver sweep
+    and bench best-of loops deliberately REUSE them across queries —
+    evict only at sweep boundaries (bench.py does, once per full pass)
+    so a long multi-sf session doesn't accumulate one persisted frame
+    + one scratch dir per (session, sf_dir)."""
     while _CLEANUPS:
         handle = _CLEANUPS.pop()
         try:
             handle.unpersist()
         except Exception:
             pass
+    if evict_session_caches:
+        import shutil
+
+        while _TRIPLES_CACHE:
+            _, df = _TRIPLES_CACHE.popitem()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        while _STREAM_PAGES_CACHE:
+            _, d = _STREAM_PAGES_CACHE.popitem()
+            shutil.rmtree(d.rsplit("/pages", 1)[0], ignore_errors=True)
 
 
 def _register(name: str, oracle: str | None = None):
@@ -990,7 +1010,9 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_md5=True,
         )
         q.awaitTermination()
-        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        n_batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
         pairs = spark.sql(f"SELECT DISTINCT doc_a, doc_b FROM {qname}").toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1939,7 +1961,7 @@ def eval_meteor_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         vocab.select(F.concat("t", F.lit("_r")).alias("word"), F.col("t").alias("cls"))
     )
-    out = evalmetrics.meteor_stats(hyps, refs, synonyms=synonyms)
+    out = evalmetrics.meteor_stats(hyps, refs, synonyms=synonyms, cleanup=_CLEANUPS)
     return out.select(
         F.col("id").cast("long"),
         F.col("m").cast("int"),

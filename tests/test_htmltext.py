@@ -410,3 +410,38 @@ def test_parse_pages_nested_views(spark):
             (h, urljoin(page["url"], h), a) for h, a in page["links"]
         ]
         assert [(m.name, m.content) for m in r.metas] == page["metas"]
+
+
+def test_latest_snapshot_same_ts_tiebreak(spark):
+    """Same-second captures: the kept row is the DETERMINISTIC payload-
+    hash winner (xxhash64 of the tiebreak column, descending), never
+    shuffle arrival order."""
+    from pyspark.sql import functions as F
+
+    from rdf_to_text_spark.operators.webtext import latest_snapshot
+
+    rows = [
+        ("https://synth.example/a", "2024-01-01 00:00:00", b"capture-one"),
+        ("https://synth.example/a", "2024-01-01 00:00:00", b"capture-two"),
+        ("https://synth.example/b", "2024-01-01 00:00:00", b"only"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    # expected winner for url a: the payload whose xxhash64 is larger
+    hashes = {
+        bytes(r.html): r.h
+        for r in pages.select("html", F.xxhash64("html").alias("h")).collect()
+        if bytes(r.html) != b"only"
+    }
+    expect_a = max(hashes, key=hashes.get)
+    for _ in range(3):  # repeat: stable across shuffles
+        kept = {
+            r.url: bytes(r.html)
+            for r in latest_snapshot(pages.repartition(4)).collect()
+        }
+        assert kept["https://synth.example/a"] == expect_a
+        assert kept["https://synth.example/b"] == b"only"
+    # opting out still keeps exactly one row per url
+    n = latest_snapshot(pages, tiebreak_col=None).count()
+    assert n == 2

@@ -105,3 +105,32 @@ def test_stream_warc_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM warc_stream_test").collect()
     }
     assert streamed == batch and len(batch) == 24
+
+
+def test_iter_warc_records_streaming_large_record():
+    """Records larger than the 1 MiB read chunk cross fill() boundaries:
+    the incremental parser must reassemble them exactly (buffer-shift
+    arithmetic), for both plain and gzip input, with a malformed tail
+    ending the scan cleanly."""
+    import gzip as _gzip
+    import io as _io
+
+    from rdf_to_text_spark.sources.warc import iter_warc_records, write_warc_py
+
+    big = (b"<p>" + b"x" * 997) * 2600  # ~2.6 MB > _READ_CHUNK
+    recs = [
+        ("https://a.example/1", "2024-01-01T00:00:00Z", big),
+        ("https://a.example/2", "2024-01-02T00:00:00Z", b"<p>small</p>"),
+    ]
+    for gz in (False, True):
+        data = write_warc_py(recs, gzip_records=gz) + b"GARBAGE-TAIL-NOT-WARC"
+        got = list(iter_warc_records(_io.BytesIO(data)))
+        assert [(r["url"], r["warc_date"], len(r["html"])) for r in got] == [
+            ("https://a.example/1", "2024-01-01T00:00:00Z", len(big)),
+            ("https://a.example/2", "2024-01-02T00:00:00Z", 12),
+        ]
+        assert got[0]["html"] == big
+    # whole-member gzip of the combined stream (not per-record members)
+    whole = _gzip.compress(write_warc_py(recs, gzip_records=False))
+    got = list(iter_warc_records(_io.BytesIO(whole)))
+    assert len(got) == 2 and got[0]["html"] == big
