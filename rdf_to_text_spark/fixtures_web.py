@@ -73,6 +73,7 @@ def render_rich_page_py(doc_id: int) -> dict:
     n_sent = 1 + d % 3
     sents = [_render_sentence(d, s)[0] for s in range(n_sent)]
     cat = TEMPLATES[(d * 7) % _T][1]
+    lang = "en" if d % 20 != 0 else "xx"
 
     paras = []
     for s, sent in enumerate(sents):
@@ -99,7 +100,10 @@ def render_rich_page_py(doc_id: int) -> dict:
         [
             "<!DOCTYPE html>",
             f"<!-- synthetic page {d} -->",
-            "<html>",
+            # the lang ATTRIBUTE is the page's self-declared language —
+            # what a crawl pipeline recovers after WARC round-trips strip
+            # side-channel metadata (kg_e2e_crawl's gate reads it back)
+            f'<html lang="{lang}">',
             "<head>",
             '<meta charset="utf-8">',
             *meta_html,
@@ -149,7 +153,7 @@ def render_rich_page_py(doc_id: int) -> dict:
     return {
         "doc_id": d,
         "url": f"https://synth.example/{cat}/{d:08d}",
-        "lang": "en" if d % 20 != 0 else "xx",
+        "lang": lang,
         "html": html.encode("utf-8"),
         "text": "\n".join(lines),
         "blocks": blocks,
@@ -424,6 +428,55 @@ deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT doc_id, CAST({total} AS BIGINT) AS rank FROM documents),
 {",".join(rounds)}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, rank FROM {prev}"""
+
+
+def web_pagerank_converged_sql(rounds: int, total: int = 10**12) -> str:
+    """Oracle: (doc_id, rank, n_rounds) — the dangling-redistribution
+    integer-PageRank spec replayed as `rounds` chained CTE rounds.
+
+    Per round: dangling damped mass ``SUM(rank*85//100)`` over nodes
+    with no out-edge, shared as ``dang // n_nodes`` to every node
+    (floor; remainder lost — the exact spec of
+    operators.webtext.pagerank_int_converged). `rounds` must equal the
+    round at which the Spark probe stops (delta <= tol): the probe
+    replays EXACT integer arithmetic, so the stop round is a
+    deterministic function of the fixture — pinned by the n_rounds
+    column under the hash."""
+    base = total * 15 // 100
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""dang{i} AS (
+  SELECT COALESCE(SUM(r.rank * 85 // 100), 0) // {n} AS share
+  FROM {prev} r WHERE r.doc_id NOT IN (SELECT src FROM deg)
+),
+c{i} AS (
+  SELECT e.dst AS doc_id, SUM((r.rank * 85 // 100) // g.deg) AS recv
+  FROM edges e JOIN {prev} r ON r.doc_id = e.src
+  JOIN deg g ON g.src = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.doc_id,
+         CAST({base} + (SELECT share FROM dang{i}) + COALESCE(c.recv, 0)
+              AS BIGINT) AS rank
+  FROM documents d LEFT JOIN c{i} c ON c.doc_id = d.doc_id
+)"""
+        )
+        prev = f"r{i}"
+    return f"""WITH {_web_cte()},
+edges AS (
+  SELECT r.doc_id AS src, r.j AS dst
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+  WHERE r.doc_id <> r.j
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({total} AS BIGINT) AS rank FROM documents),
+{",".join(parts)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rank,
+       CAST({rounds} AS INT) AS n_rounds
+FROM {prev}"""
 
 
 def web_meta_sql() -> str:

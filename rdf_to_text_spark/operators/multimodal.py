@@ -69,10 +69,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
     decodes through the pure-stdlib zlib + unfilter codec
     (operators/png.py — all five scanline filters; gray replicated to
     3 channels, alpha dropped, RGB flipped to BGR here so every format
-    lands in one layout); any other
-    format routes through Pillow when importable. Without Pillow a
-    non-BMP/PNG payload still raises loudly — codec-compressed formats
-    are not fakeable and nobody should mistake a stub for a decoder.
+    lands in one layout); baseline-sequential JPEG — the dominant real
+    web-corpus format — decodes through the pure-numpy Huffman + IDCT
+    codec (operators/jpeg.py, exercised end-to-end by the
+    `multimodal_decode_jpeg` query); any other format (progressive
+    JPEG, WebP, GIF, …) routes through Pillow when importable. Without
+    Pillow such a payload still raises loudly — nobody should mistake
+    a stub for a decoder.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -83,13 +86,21 @@ def decode_image(payload: bytes) -> "np.ndarray":
         if px.shape[2] == 1:
             px = np.repeat(px, 3, axis=2)
         return px[:, :, 2::-1].copy()  # RGB(A) → BGR, alpha dropped
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, ::-1].copy()  # RGB → BGR, matching decode_bmp
     try:
         from io import BytesIO
 
         from PIL import Image  # optional: absent in this container
     except ImportError as exc:
         raise NotImplementedError(
-            "non-BMP image decode requires Pillow/libjpeg (not in this container)"
+            "non-BMP/PNG/baseline-JPEG image decode requires Pillow "
+            "(not in this container)"
         ) from exc
     rgb = np.asarray(Image.open(BytesIO(payload)).convert("RGB"), dtype=np.uint8)
     return rgb[:, :, ::-1].copy()  # RGB → BGR, matching decode_bmp

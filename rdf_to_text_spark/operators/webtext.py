@@ -277,6 +277,91 @@ def pagerank_int(
     return ranks
 
 
+def pagerank_int_converged(
+    edges: DataFrame,
+    nodes: DataFrame,
+    tol: int,
+    max_iters: int = 12,
+    total: int = 10**12,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Web-scale integer PageRank: (doc_id, rank, n_rounds) with
+    DANGLING-MASS REDISTRIBUTION and an L1 CONVERGENCE PROBE — the two
+    simplifications :func:`pagerank_int` documents away, closed.
+
+    Spec (exact, both engines replay it):
+      * each round, every dangling node's damped mass ``rank*85//100``
+        is summed and redistributed equally: every node receives
+        ``dangling_sum // n_nodes`` (floor; the < n_nodes remainder is
+        the only mass that leaves — ≤ 5e-10 relative at total=10^12);
+      * rounds stop when the L1 delta ``sum(|rank - prev|)`` falls to
+        ``tol`` or below, else at ``max_iters``; the stop round is
+        returned as ``n_rounds`` so a hash gate pins WHERE the probe
+        stopped, not only the final ranks.
+
+    Scale shape: per round ONE ranks⋈edges join + one combiner-friendly
+    groupBy (as pagerank_int), plus ONE fused scalar agg that collects
+    (L1 delta of this round, dangling damped sum for the NEXT round) in
+    a single driver round trip — the convergence probe every iterative
+    engine pays, paid once per round, not twice. Ranks are persisted per
+    round and the previous round released, so lineage stays O(1) deep
+    regardless of iteration count (pagerank_int's fixed-3 unrolling
+    doesn't need this; a probed loop does).
+    """
+    ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_nodes = ids.count()
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").persist()
+    if cleanup is not None:
+        cleanup.extend([edges, e])
+    base = total * 15 // 100
+    has_out = deg.select(F.col("src").alias("doc_id"), F.lit(1).alias("has_out"))
+    ranks = ids.withColumn("rank", F.lit(total).cast("long")).persist()
+    # round-1 dangling sum: every node holds `total`, so it is exact
+    # arithmetic, no job needed
+    dangling = (n_nodes - deg.count()) * (total * 85 // 100)
+    rounds = 0
+    for _ in range(max_iters):
+        share = dangling // n_nodes
+        contrib = e.join(ranks.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"),
+            F.expr("rank * 85 div 100 div deg").alias("send"),
+        )
+        recv = contrib.groupBy("doc_id").agg(F.sum("send").alias("recv"))
+        new_ranks = (
+            ids.join(recv, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(base + share) + F.coalesce("recv", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .persist()
+        )
+        # ONE probe job: this round's L1 delta + next round's dangling sum
+        delta, dang_next = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "doc_id")
+            .join(has_out, "doc_id", "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("has_out").isNull(), F.expr("rank * 85 div 100"))
+                ).alias("dang"),
+            )
+            .collect()[0]
+        )
+        dangling = dang_next or 0
+        ranks.unpersist()
+        ranks = new_ranks
+        rounds += 1
+        if delta <= tol:
+            break
+    if cleanup is not None:
+        cleanup.append(ranks)
+    return ranks.withColumn("n_rounds", F.lit(rounds).cast("int"))
+
+
 META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

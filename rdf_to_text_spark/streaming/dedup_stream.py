@@ -29,13 +29,19 @@ degenerate buckets the stream keeps the first-arrival clique where the
 batch keeps nothing — both bound the bucket's pair volume at
 O(max_bucket²).
 
-Duplicate emissions: a pair colliding in several bands (or whose bucket
-is revisited across batches — impossible for one pair, since both ids
-of a pair meet in a bucket exactly once) is emitted once PER BAND it
-shares; the batch rung dedups pairs globally. Downstream exact
-verification (ngram_jaccard) is idempotent, so streaming consumers
-either tolerate or ``dropDuplicates`` on materialization — the
-invariant test compares distinct pair sets.
+Duplicate emissions: a pair colliding in several bands is emitted once
+PER BAND by the bucket stage; the batch rung dedups pairs globally. By
+default (``unique_pairs=True``) a second stateful stage — Spark's
+streaming ``dropDuplicates`` on (doc_a, doc_b), the engine-native
+keyed-state operator — restores the batch contract: each pair reaches
+the sink EXACTLY ONCE across all bands and micro-batches (a sink that
+bills per candidate can consume the stream directly). Its state is one
+entry per distinct emitted pair, bounded by the bucket stage's pair
+volume (O(#buckets · max_bucket²) worst case — same order as the
+candidate set itself) and kept without timeout, the right call for a
+dedup whose whole point is remembering history. Pass
+``unique_pairs=False`` to observe raw per-band emissions (the
+stream≡batch invariant test compares DISTINCT sets either way).
 
 Scale shape: state per (band, bucket) key is ≤ max_bucket longs — the
 engine checkpoints O(#non-singleton buckets · max_bucket) ids total,
@@ -61,6 +67,7 @@ PAIRS_SCHEMA = StructType(
 )
 
 STATE_SCHEMA = StructType([StructField("ids", ArrayType(LongType()))])
+
 
 
 def _make_update(max_bucket: int):
@@ -103,7 +110,12 @@ def streaming_minhash_candidates(
     max_bucket: int = 128,
     portable_md5: bool = False,
 ) -> DataFrame:
-    """Streaming documents → (doc_a, doc_b) candidate pairs (append).
+    """Streaming documents → (doc_a, doc_b) candidate pairs (append),
+    emitted once PER BAND (raw bucket-stage output — see the module
+    docstring; the global once-per-pair form is the staged pipeline in
+    :func:`stream_minhash_candidates`, because Spark permits only one
+    ``applyInPandasWithState`` per streaming query and its columnar
+    output cannot feed the built-in dropDuplicates state operator).
 
     Same parameters, same signatures, same buckets as the batch
     ``minhash_lsh_candidates`` — only the bucket self-join is replaced
@@ -141,11 +153,36 @@ def stream_minhash_candidates(
     schema=None,
     query_name: str = "minhash_candidates",
     max_files_per_trigger: int = 1,
+    unique_pairs: bool = True,
+    stage2_max_files: int | None = None,
     **kwargs,
 ):
     """File-stream parquet documents → streaming candidates → memory
     sink (append). ``max_files_per_trigger=1`` forces one micro-batch
-    per file so bucket state genuinely accumulates across batches."""
+    per file so bucket state genuinely accumulates across batches.
+
+    ``unique_pairs`` (default): the raw per-band pairs are staged
+    through an exactly-once parquet handoff (``<checkpoint_dir>_raw``;
+    the downstream file source honors the sink's _spark_metadata commit
+    log, so only committed batches are read) and a SECOND streaming
+    query applies the engine-native ``dropDuplicates`` state operator —
+    the sink then holds each candidate pair EXACTLY ONCE across bands
+    and micro-batches, matching the batch rung's global-dedup contract.
+    Staging is forced by two Spark limits (one applyInPandasWithState
+    per query; its columnar output cannot feed the dropDuplicates state
+    store), but it is also the normal production shape: raw candidates
+    are a bronze table a crawl pipeline wants durable anyway. In this
+    availableNow harness the stages run sequentially; a continuous
+    deployment runs both queries concurrently (stage 2 tails stage 1's
+    sink). dropDuplicates state: one entry per distinct pair, no
+    watermark — dedup history is the product. ``stage2_max_files``
+    throttles the dedup stage's file source (None = all committed raw
+    files per trigger — the harness default; tests pass 1 to force the
+    dedup state itself across micro-batches). The returned (stage-2)
+    query carries ``ingest_recent_progress`` — stage 1's progress
+    events — so callers can assert multi-batch INGEST behavior
+    regardless of stage-2 batching.
+    """
     if schema is None:
         schema = spark.read.parquet(docs_dir).schema
     docs = (
@@ -154,11 +191,37 @@ def stream_minhash_candidates(
         .parquet(docs_dir)
     )
     pairs = streaming_minhash_candidates(docs, **kwargs)
-    return (
-        pairs.writeStream.format("memory")
+    if not unique_pairs:
+        return (
+            pairs.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    raw_dir = f"{checkpoint_dir}_raw"
+    q1 = (
+        pairs.writeStream.format("parquet")
+        .option("path", f"{raw_dir}/data")
+        .option("checkpointLocation", f"{raw_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    raw = spark.readStream.schema(PAIRS_SCHEMA)
+    if stage2_max_files is not None:
+        raw = raw.option("maxFilesPerTrigger", stage2_max_files)
+    q2 = (
+        raw.parquet(f"{raw_dir}/data")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    q2.ingest_recent_progress = q1.recentProgress
+    return q2

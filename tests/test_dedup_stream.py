@@ -45,8 +45,11 @@ def _run_stream(spark, docs, n_files, **kwargs):
             spark, f"{work}/docs", f"{work}/ckpt", query_name=qname, **kwargs
         )
         q.awaitTermination()
+        # multi-batch accumulation is an INGEST-stage property; the
+        # staged (unique_pairs) wrapper exposes stage-1 progress
+        progress = getattr(q, "ingest_recent_progress", q.recentProgress)
         n_batches = sum(
-            1 for p in q.recentProgress if p["numInputRows"] > 0
+            1 for p in progress if (p.get("numInputRows") or 0) > 0
         )
         rows = spark.sql(f"SELECT DISTINCT doc_a, doc_b FROM {qname}").collect()
         return {(r.doc_a, r.doc_b) for r in rows}, n_batches
@@ -134,3 +137,64 @@ def test_stream_cap_bounds_degenerate_bucket(spark):
     )
     got, _ = _run_stream(spark, docs, n_files=1, max_bucket=4)
     assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
+def test_unique_pairs_sink_emits_each_pair_once(spark):
+    """EXACT duplicates collide in ALL 16 bands: without the
+    dropDuplicates stage the bucket stage emits the pair once per band;
+    with unique_pairs=True (default) the SINK — not a downstream
+    consumer — must hold each pair exactly once, across bands AND
+    micro-batches."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "totally different words about arrow batches and shuffle io"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    work = tempfile.mkdtemp(prefix="dedup_uni_")
+    qname = f"uniq_{uuid.uuid4().hex[:8]}"
+    try:
+        # ids 0 and 1 in SEPARATE files so the pair forms across batches
+        docs.repartition(2, "doc_id").write.parquet(f"{work}/docs")
+        q = stream_minhash_candidates(
+            spark, f"{work}/docs", f"{work}/ckpt", query_name=qname
+        )
+        q.awaitTermination()
+        raw = spark.sql(f"SELECT doc_a, doc_b FROM {qname}").collect()
+        counts = {}
+        for r in raw:
+            counts[(r.doc_a, r.doc_b)] = counts.get((r.doc_a, r.doc_b), 0) + 1
+        assert counts.get((0, 1)) == 1, counts
+        assert all(c == 1 for c in counts.values()), counts
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+
+
+def test_per_band_emissions_observable_without_unique(spark):
+    """unique_pairs=False exposes the raw bucket-stage behavior: an
+    exact-dup pair colliding in k>1 bands appears k times — pinning
+    that the default stage is doing real work."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    work = tempfile.mkdtemp(prefix="dedup_raw_")
+    qname = f"raw_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.coalesce(1).write.parquet(f"{work}/docs")
+        q = stream_minhash_candidates(
+            spark, f"{work}/docs", f"{work}/ckpt", query_name=qname,
+            unique_pairs=False,
+        )
+        q.awaitTermination()
+        raw = spark.sql(
+            f"SELECT count(*) AS c FROM {qname} WHERE doc_a = 0 AND doc_b = 1"
+        ).collect()[0].c
+        # identical text -> identical signature -> all 16 bands collide
+        assert raw == 16
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
