@@ -188,10 +188,15 @@ def main() -> None:
             "kg_e2e_crawl",
             "web_pagerank_converged",
             "multimodal_decode_jpeg",
+            "web_anchor_text",
+            "web_url_normalize",
+            "web_robots_gate",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
-        # resumable sink harness end-to-end — once is the honest number
-        {"kg_e2e_crawl": 1},
+        # resumable sink harness end-to-end — once is the honest number;
+        # the converged PageRank runs ~10 probe rounds (each a job) so
+        # a second pass buys little signal for ~30 s of window
+        {"kg_e2e_crawl": 1, "web_pagerank_converged": 1},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force

@@ -508,6 +508,113 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d"""
 
 
+def web_anchor_text_sql() -> str:
+    """Oracle: (doc_id, anchor, n_refs, n_srcs) per in-corpus link
+    target — reference counts and distinct referrer counts rebuilt from
+    the outlink arithmetic (anchor text is always ``Doc {target}`` in
+    this fixture; the COUNTS are what vary)."""
+    return f"""WITH {_web_cte()}
+SELECT CAST(r.j AS BIGINT) AS doc_id,
+       'Doc ' || CAST(r.j AS VARCHAR) AS anchor,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_srcs
+FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+GROUP BY r.j"""
+
+
+# Messy-url variants for the normalization query, keyed by doc_id % 6.
+# BOTH sides build url_in with the same literal replace() on the page
+# url, so the operator under test is only the normalizer.
+_MESSY_CASE_SQL = """CASE m
+    WHEN 0 THEN replace(u, 'https://synth.example', 'HTTPS://SYNTH.EXAMPLE')
+    WHEN 1 THEN replace(u, 'example/', 'example:443/')
+    WHEN 2 THEN replace(u, 'example/', 'example/x/../')
+    WHEN 3 THEN replace(u, 'example/', 'example/%41rchive/')
+    WHEN 4 THEN replace(u, 'example/', 'example/./')
+    ELSE u || '?b=%42&c=%2f#sec'
+  END"""
+
+
+def web_url_normalize_sql() -> str:
+    """Oracle: (doc_id, url_in, url_norm) — six deterministic RFC 3986
+    denormalizations (case, default port, dot segments ../ and ./,
+    decodable %41 escape, query escapes + fragment) and their expected
+    canonical spellings, all closed-form string arithmetic."""
+    return f"""WITH {_web_cte()},
+base AS (
+  SELECT c.doc_id,
+         'https://synth.example/' || c.scat || '/' || {_pad8('c.doc_id')} AS u,
+         c.doc_id % 6 AS m
+  FROM dcat c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  {_MESSY_CASE_SQL} AS url_in,
+  CASE m
+    WHEN 3 THEN replace(u, 'example/', 'example/Archive/')
+    WHEN 5 THEN u || '?b=B&c=%2F'
+    ELSE u
+  END AS url_norm
+FROM base"""
+
+
+# The synthetic crawl policy for host synth.example — the SINGLE source
+# both the Spark query (parses this text with the real RFC 9309 parser)
+# and the SQL oracle (replays its semantics arithmetically) build on.
+# '*' group: Airport pages disallowed unless the path ends in 0
+# (longest-match Allow with * and $); kgbot group REPLACES '*' per RFC:
+# City pages disallowed unless ending in 5, any query string disallowed.
+ROBOTS_TXT = """\
+# synthetic crawl policy (fixture)
+User-agent: *
+Disallow: /Airport/
+Allow: /Airport/*0$
+
+User-agent: kgbot
+Disallow: /City/
+Allow: /City/*5$
+Disallow: /*?*
+Crawl-delay: 2
+"""
+
+
+def web_robots_gate_sql() -> str:
+    """Oracle: (doc_id, agent, url, allowed, rule_path) for two agents
+    over page urls + ``/about?d=…`` urls — RFC 9309 precedence
+    (longest path wins, Allow wins ties, exact agent group replaces
+    ``*``) replayed as CASE arithmetic on category and doc_id digits."""
+    return f"""WITH {_web_cte()},
+urls AS (
+  SELECT c.doc_id,
+         'https://synth.example/' || c.scat || '/' || {_pad8('c.doc_id')} AS url,
+         c.scat, FALSE AS is_about
+  FROM dcat c
+  UNION ALL
+  SELECT c.doc_id,
+         'https://synth.example/about?d=' || CAST(c.doc_id AS VARCHAR) || '&x=1',
+         c.scat, TRUE
+  FROM dcat c
+),
+agents(agent) AS (VALUES ('anybot'), ('kgbot'))
+SELECT CAST(u.doc_id AS BIGINT) AS doc_id, a.agent, u.url,
+  CASE
+    WHEN a.agent = 'anybot' AND NOT u.is_about AND u.scat = 'Airport'
+      THEN u.doc_id % 10 = 0
+    WHEN a.agent = 'kgbot' AND u.is_about THEN FALSE
+    WHEN a.agent = 'kgbot' AND NOT u.is_about AND u.scat = 'City'
+      THEN u.doc_id % 10 = 5
+    ELSE TRUE
+  END AS allowed,
+  CASE
+    WHEN a.agent = 'anybot' AND NOT u.is_about AND u.scat = 'Airport'
+      THEN CASE WHEN u.doc_id % 10 = 0 THEN '/Airport/*0$' ELSE '/Airport/' END
+    WHEN a.agent = 'kgbot' AND u.is_about THEN '/*?*'
+    WHEN a.agent = 'kgbot' AND NOT u.is_about AND u.scat = 'City'
+      THEN CASE WHEN u.doc_id % 10 = 5 THEN '/City/*5$' ELSE '/City/' END
+    ELSE NULL
+  END AS rule_path
+FROM urls u CROSS JOIN agents a"""
+
+
 def crawl_snapshot_sql() -> str:
     """Oracle for crawl_latest_snapshot: every 5th page is re-crawled a
     day later, so the kept capture and version count are closed-form."""

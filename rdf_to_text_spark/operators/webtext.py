@@ -222,6 +222,64 @@ def link_degrees(
     )
 
 
+def url_normalized(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Adds `out_col` = RFC 3986-normalized spelling of `url_col`
+    (functions/urlnorm.py — case, escapes, dot segments, default port,
+    fragment). Run this BEFORE any url-keyed stage (latest_snapshot,
+    link_edges, frontier dedup): canonicalizing after the shuffle means
+    the shuffle key was wrong.
+
+    Scale shape: one Arrow-batched pandas_udf projection — narrow, zero
+    shuffle, pipelines into the scan like the other web maps."""
+    from pyspark.sql.types import StringType
+
+    from ..functions.urlnorm import normalize_url_py
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(normalize_url_py, na_action="ignore")
+
+    return df.withColumn(out_col, _norm(F.col(url_col)))
+
+
+def anchor_text_agg(pages: DataFrame, docs: DataFrame) -> DataFrame:
+    """Anchor-text aggregation: (doc_id, anchor, n_refs, n_srcs) for
+    every in-corpus link target — each distinct anchor string pointing
+    at a page, with total reference count and distinct referring-page
+    count.
+
+    The classic KG-construction signal: the web's own names for an
+    entity/page are the anchor texts of its in-links (the surface-form
+    dictionary delexicalisation consumes starts exactly here; reference
+    delexicalisation seeds from entity surfaces the same way,
+    `benchmark_reader.py` entity maps). Self-references are kept — a
+    page's self-anchor is still a name for it.
+
+    Scale shape: the narrow html_links explode → one hash join against
+    doc ids on the target key → ONE groupBy (dst, anchor) computing
+    count + countDistinct(src). count is combiner-friendly;
+    countDistinct expands to a two-phase exact aggregate — at web scale
+    swap in approx_count_distinct if ±2% is acceptable (documented
+    knob, not the default: the oracle pins the exact form).
+    """
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    links = html_links(pages)
+    dst_str = F.regexp_extract("resolved", _CORPUS_URL_RX, 1)
+    return (
+        links.withColumn("dst", F.nullif(dst_str, F.lit("")).cast("long"))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("doc_id").alias("src"), "dst", "anchor")
+        .join(ids.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(F.col("dst").alias("doc_id"), "anchor")
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+        )
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     nodes: DataFrame,
@@ -303,21 +361,34 @@ def pagerank_int_converged(
     groupBy (as pagerank_int), plus ONE fused scalar agg that collects
     (L1 delta of this round, dangling damped sum for the NEXT round) in
     a single driver round trip — the convergence probe every iterative
-    engine pays, paid once per round, not twice. Ranks are persisted per
-    round and the previous round released, so lineage stays O(1) deep
-    regardless of iteration count (pagerank_int's fixed-3 unrolling
-    doesn't need this; a probed loop does).
+    engine pays, paid once per round, not twice. LINEAGE IS CUT, not
+    just cached: `persist` caches data but every round's LOGICAL plan
+    still nests the previous round's (and, at the leaves, the whole
+    HTML-extraction lineage), so Catalyst re-optimization cost grows
+    with round count — measured as a >9 min runaway at 12 rounds on the
+    sf0.1 corpus, vs seconds with `localCheckpoint(eager=True)` on the
+    degree-joined edges once and on the ranks each round (the same
+    idiom the CC star loop uses, canonicalize.py:229,249; GraphX's
+    Pregel checkpoints on the same schedule for the same reason).
+    pagerank_int's fixed-3 unrolling doesn't need this; a probed loop
+    does.
     """
     ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_nodes = ids.count()
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(deg, "src").persist()
+    # cut the upstream (HTML tokenize -> link resolve) lineage out of
+    # every round's plan; this is the frame each round re-joins
+    e = edges.join(deg, "src").localCheckpoint(eager=True)
     if cleanup is not None:
         cleanup.extend([edges, e])
     base = total * 15 // 100
-    has_out = deg.select(F.col("src").alias("doc_id"), F.lit(1).alias("has_out"))
-    ranks = ids.withColumn("rank", F.lit(total).cast("long")).persist()
+    has_out = e.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "has_out", F.lit(1)
+    )
+    ranks = ids.withColumn("rank", F.lit(total).cast("long")).localCheckpoint(
+        eager=True
+    )
     # round-1 dangling sum: every node holds `total`, so it is exact
     # arithmetic, no job needed
     dangling = (n_nodes - deg.count()) * (total * 85 // 100)
@@ -337,7 +408,9 @@ def pagerank_int_converged(
                 .cast("long")
                 .alias("rank"),
             )
-            .persist()
+            # eager checkpoint = materialize + cut lineage in one job;
+            # the probe below then joins two flat cached frames
+            .localCheckpoint(eager=True)
         )
         # ONE probe job: this round's L1 delta + next round's dangling sum
         delta, dang_next = (
@@ -352,7 +425,7 @@ def pagerank_int_converged(
             .collect()[0]
         )
         dangling = dang_next or 0
-        ranks.unpersist()
+        ranks.unpersist()  # releases the checkpoint blocks of the old round
         ranks = new_ranks
         rounds += 1
         if delta <= tol:

@@ -369,7 +369,14 @@ def kg_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
         iso(F.lit(epoch) + F.col("doc_id")).alias("warc_iso"),
     )
-    captures = crawl1.unionByName(crawl2).unionByName(mirrors).repartition(4, "doc_id")
+    # one WARC file per partition: size to the session's parallelism
+    # (floor 4 so the multi-file read path is exercised even on tiny
+    # test sessions) — a fixed 4 serialized the gzip write AND capped
+    # the binaryFile read at 4 tasks, dominating the sf0.1 wall
+    n_files = max(4, spark.sparkContext.defaultParallelism)
+    captures = (
+        crawl1.unionByName(crawl2).unionByName(mirrors).repartition(n_files, "doc_id")
+    )
 
     work = tempfile.mkdtemp(prefix="e2e_crawl_")
     # the sink parquet must outlive this function (the returned plan
@@ -3740,6 +3747,79 @@ def web_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
     return pagerank_int_converged(
         edges, docs, tol=10**9, max_iters=12, cleanup=_CLEANUPS
+    )
+
+
+@_register_extra("web_anchor_text", fixtures_web.web_anchor_text_sql())
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/webtext.py:anchor_text_agg):
+    the web's own names for each in-corpus page — every distinct anchor
+    string pointing at it, with total reference count and distinct
+    referrer count. One narrow link explode, one hash join on the
+    target, one (dst, anchor) groupBy. Oracle rebuilds both counts from
+    the outlink arithmetic."""
+    from .operators.webtext import anchor_text_agg
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    return anchor_text_agg(pages, _docs(spark, sf_dir))
+
+
+@_register_extra("web_url_normalize", fixtures_web.web_url_normalize_sql())
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 url normalization (functions/urlnorm.py via
+    operators/webtext.py:url_normalized): six deterministic
+    denormalizations of the page url (case, :443, /x/../, %41 escape,
+    /./, query escapes + fragment) built engine-side with the SAME
+    replace() expression the oracle uses, then canonicalized by the
+    Arrow-batched normalizer. A wrong escape table, dot-segment step,
+    or port rule shifts the hash."""
+    from .operators.webtext import url_normalized
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    messy = pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("url").alias("u"),
+        (F.col("doc_id") % 6).alias("m"),
+    ).withColumn("url_in", F.expr(fixtures_web._MESSY_CASE_SQL))
+    return url_normalized(messy, "url_in").select("doc_id", "url_in", "url_norm")
+
+
+@_register_extra("web_robots_gate", fixtures_web.web_robots_gate_sql())
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate (operators/robots.py): the fixture
+    robots.txt is parsed by the real RFC 9309 parser, compiled to LIKE
+    patterns, and applied to page + /about?query urls for two agents —
+    'anybot' falls to the '*' group (Airport pages disallowed unless
+    the path ends in 0: longest-match Allow with * and $), 'kgbot' has
+    its own group which REPLACES '*' (City pages unless ending 5; any
+    query string). The oracle replays precedence as CASE arithmetic;
+    the winning rule path rides the hash so a wrong tie-break cannot
+    pass."""
+    from .operators.robots import robots_gate, robots_rules
+
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    page_urls = pages.select(F.col("doc_id").cast("long").alias("doc_id"), "url")
+    about_urls = pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://synth.example/about?d="),
+            F.col("doc_id").cast("string"),
+            F.lit("&x=1"),
+        ).alias("url"),
+    )
+    urls = page_urls.unionByName(about_urls)
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("synth.example", fixtures_web.ROBOTS_TXT)],
+            "host string, robots_txt string",
+        )
+    )
+    parts = [
+        robots_gate(urls, rules, agent).withColumn("agent", F.lit(agent))
+        for agent in ("anybot", "kgbot")
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "doc_id", "agent", "url", "allowed", "rule_path"
     )
 
 
