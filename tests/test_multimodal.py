@@ -21,14 +21,24 @@ def _media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_non_bmp_without_pillow_raises_loudly():
+def test_decode_unsupported_format_without_pillow_raises_loudly():
+    # JPEG now has a real pure-numpy decoder (operators/jpeg.py), so the
+    # Pillow fallback only triggers for formats we don't decode natively
+    # (GIF, WebP, progressive JPEG reaches it via ValueError first).
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow present: JPEG path is real here")
+        pytest.skip("Pillow present: fallback path is real here")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"GIF89a" + b"\x00" * 16)
+
+
+def test_decode_truncated_jpeg_raises_value_error():
+    # A JPEG magic routes to the real decoder, which rejects garbage
+    # loudly rather than falling through to the Pillow stub.
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff")
 
 
