@@ -276,3 +276,91 @@ gold AS (
 def gold_triples_sql() -> str:
     """Flagship oracle: expected extraction output from arithmetic alone."""
     return f"WITH {gold_cte()} SELECT doc_id, sent_idx, subj, pred, obj FROM gold"
+
+
+# ----------------------------------------------------- crawl generation 2
+# A second crawl of the same corpus, for incremental-KG (snapshot delta)
+# checks: every 11th url has dropped out of the crawl (site gone), every
+# 7th surviving page gained one revision sentence rendered from shifted
+# arithmetic (doc_id + _V2_SHIFT, sentence slot 0) — so both delta
+# classes (removed facts, added facts) are closed-form doc_id arithmetic.
+_V2_SHIFT = 7777
+
+
+def render_page_v2_py(doc_id: int) -> dict:
+    """Generation-2 render of a surviving page (call only for
+    doc_id % 11 != 0): the flagship page, plus one appended revision
+    sentence on every 7th doc. The appended sentence may be a filler
+    (no triple) or may duplicate an existing fact — the delta operator
+    and its oracle both treat facts as sets, so those cases cancel."""
+    r = render_page_py(doc_id)
+    if doc_id % 7 == 0:
+        extra, _triple = _render_sentence(doc_id + _V2_SHIFT, 0)
+        text = r["text"] + " " + extra
+        r["text"] = text
+        r["html"] = b"<html><body><p>" + text.encode() + b"</p></body></html>"
+    return r
+
+
+def pages_v2_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generation-2 pages table: same shape as
+    :func:`pages_from_documents`, urls with doc_id % 11 == 0 absent,
+    every 7th surviving page revised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.filter(F.col("doc_id") % 11 != 0)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_ts = pd.Timestamp("2024-02-01T00:00:00")
+        for pdf in batches:
+            rows = [render_page_v2_py(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [base_ts + pd.Timedelta(seconds=r["doc_id"]) for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def snapshot_delta_sql() -> str:
+    """Oracle for the incremental-KG delta between the two crawl
+    generations: removed = facts of vanished urls; added = the revision
+    sentence's fact where it is non-filler AND not already a fact of
+    the page (set semantics — EXCEPT on both sides)."""
+    return f"""WITH {gold_cte()},
+chg AS (
+  SELECT d.doc_id, d.doc_id + {_V2_SHIFT} AS x
+  FROM documents d
+  WHERE d.doc_id % 7 = 0 AND d.doc_id % 11 <> 0 AND d.doc_id % 20 <> 0
+),
+chg_hit AS (
+  SELECT doc_id, (x*7) % {_T} AS t, x*11 AS raws, x*3 AS rawo
+  FROM chg WHERE (x*31) % 10 <> 0
+),
+appended AS (
+  SELECT h.doc_id, sp.name AS subj, tm.pred AS pred, op.name AS obj
+  FROM chg_hit h
+  JOIN tmpl tm ON tm.t = h.t
+  JOIN spool sp ON sp.cat = tm.scat
+    AND sp.idx = CASE WHEN h.raws % 5 < 2 THEN 0 ELSE h.raws % tm.ssize END
+  JOIN opool op ON op.pool = tm.opool AND op.idx = h.rawo % tm.osize
+),
+old_facts AS (SELECT DISTINCT doc_id, subj, pred, obj FROM gold),
+new_facts AS (
+  SELECT DISTINCT doc_id, subj, pred, obj FROM (
+    SELECT doc_id, subj, pred, obj FROM gold WHERE doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id, subj, pred, obj FROM appended
+  )
+)
+SELECT doc_id, subj, pred, obj, 'removed' AS change
+FROM (SELECT * FROM old_facts EXCEPT SELECT * FROM new_facts)
+UNION ALL
+SELECT doc_id, subj, pred, obj, 'added' AS change
+FROM (SELECT * FROM new_facts EXCEPT SELECT * FROM old_facts)"""

@@ -1,0 +1,361 @@
+"""Deterministic pages carrying structured data + their SQL oracles.
+
+Web pages don't only carry facts as prose — they carry them as JSON-LD
+blocks, microdata attributes, and infobox tables (the Web Data Commons
+extraction surface). This module renders the SAME gold triples as the
+flagship fixture (`fixtures.py` arithmetic) into those three
+machine-readable carriers, so structured-data extraction
+(`operators/structdata.py`) is checked against the same closed-form
+gold oracle as prose extraction: one KG, multiple modalities.
+
+Same three-way contract as `fixtures.py` / `fixtures_web.py`:
+
+  1. :func:`render_struct_page_py` — plain Python render AND the
+     expected extraction rows for all three views (the executable spec);
+  2. :func:`struct_pages_from_documents` — Spark, Arrow-batched;
+  3. :func:`jsonld_sql` / :func:`microdata_sql` / :func:`infobox_sql` /
+     :func:`structdata_entities_sql` / :func:`structdata_profile_sql` —
+     generated DuckDB SQL rebuilding the expected rows from doc_id
+     arithmetic alone (the oracle never parses HTML or JSON).
+
+Hostile-input coverage baked into the *driver-checked* path: every 17th
+page carries a malformed ld+json block (must contribute nothing), every
+page carries a plain-JS script with decoy JSON, a ``<template>``-wrapped
+fake item, a class-less decoy table, and a th-less infobox row — all
+required to be invisible in the oracle-matched output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .fixtures import _render_sentence, gold_cte
+from .fixtures_web import _pad8
+from .templates import TEMPLATES
+
+_T = len(TEMPLATES)
+
+
+def struct_hits_py(d: int) -> list[dict]:
+    """Gold hits of doc d in sentence order, with surfaces + category.
+
+    ``i`` is the hit's rank among the doc's non-filler sentences — the
+    structured carriers are numbered by hit, not by sentence.
+    """
+    from .fixtures import _obj_pool, _subj_pool
+    from .functions.textnorm import clean_surface
+    from .templates import surface_variants
+
+    hits = []
+    for s in range(1 + d % 3):
+        if (d * 31 + s * 17) % 10 == 0:
+            continue
+        t = (d * 7 + s * 13) % _T
+        pred, cat, _opool, _pat = TEMPLATES[t]
+        spool, opool = _subj_pool(t), _obj_pool(t)
+        raws = d * 11 + s * 5
+        subj = spool[0 if raws % 5 < 2 else raws % len(spool)]
+        obj = opool[(d * 3 + s * 2) % len(opool)]
+        variants = surface_variants(subj)
+        hits.append(
+            {
+                "i": len(hits),
+                "s": s,
+                "subj": subj,
+                "pred": pred,
+                "obj": obj,
+                "subj_surface": variants[(d + s) % len(variants)],
+                "obj_surface": clean_surface(obj),
+                "cat": cat,
+            }
+        )
+    return hits
+
+
+def render_struct_page_py(doc_id: int) -> dict:
+    """Structured-data page render + expected rows for all three views.
+
+    Carrier contract per gold hit ``i`` (parent node/item ``2i``, nested
+    provenance node ``2i+1``):
+
+    JSON-LD (one array block, one object per hit)::
+
+        {"@id": subj, "@type": cat, pred: obj,
+         "tags": [pred, cat], "source": {"sentence": "s{s}"}}
+
+    Microdata (one ``itemscope`` div per hit): ``@type`` from itemtype,
+    ``surface`` via <meta content>, the predicate via <span> text (with
+    inline markup), ``page`` via <a href>, ``prov`` as a nested item
+    holding ``sentence``.
+
+    Infobox (one table): rows Category / Sentences / Doc keyed on the
+    PAGE's category (template ``(d*7) % T``), plus a th-less row and a
+    class-less decoy table that must both be dropped.
+    """
+    d = doc_id
+    n_sent = 1 + d % 3
+    hits = struct_hits_py(d)
+    page_cat = TEMPLATES[(d * 7) % _T][1]
+    lang = "en" if d % 20 != 0 else "xx"
+    sents = [_render_sentence(d, s)[0] for s in range(n_sent)]
+
+    # ---------------- JSON-LD carrier + expected rows
+    objs = []
+    jsonld_rows: list[tuple] = []
+    for h in hits:
+        p, c = 2 * h["i"], 2 * h["i"] + 1
+        objs.append(
+            {
+                "@id": h["subj"],
+                "@type": h["cat"],
+                h["pred"]: h["obj"],
+                "tags": [h["pred"], h["cat"]],
+                "source": {"sentence": f"s{h['s']}"},
+            }
+        )
+        jsonld_rows += [
+            (d, p, h["subj"], "@type", h["cat"]),
+            (d, p, h["subj"], h["pred"], h["obj"]),
+            (d, p, h["subj"], "tags", h["pred"]),
+            (d, p, h["subj"], "tags", h["cat"]),
+            (d, p, h["subj"], "source", f"_:j{c}"),
+            (d, c, f"_:j{c}", "sentence", f"s{h['s']}"),
+        ]
+    ld_script = (
+        '<script type="application/ld+json">'
+        + json.dumps(objs, separators=(",", ":"))
+        + "</script>"
+    )
+    bad_ld = (
+        '<script type="application/ld+json">{"truncated": </script>'
+        if d % 17 == 0
+        else ""
+    )
+
+    # ---------------- microdata carrier + expected rows
+    md_parts: list[str] = []
+    md_rows: list[tuple] = []
+    page_path = f"/{page_cat}/{d:08d}"
+    for h in hits:
+        p, c = 2 * h["i"], 2 * h["i"] + 1
+        w0, _, rest = h["obj_surface"].partition(" ")
+        obj_html = f"<b>{w0}</b> {rest}" if rest else h["obj_surface"]
+        md_parts.append(
+            f'<div itemscope itemtype="https://schema.org/{h["cat"]}" itemid="{h["subj"]}">\n'
+            f'<meta itemprop="surface" content="{h["subj_surface"]}">\n'
+            f'<span itemprop="{h["pred"]}">{obj_html}</span>\n'
+            f'<a itemprop="page" href="{page_path}">doc</a>\n'
+            f'<div itemprop="prov" itemscope><span itemprop="sentence">s{h["s"]}</span></div>\n'
+            "</div>"
+        )
+        md_rows += [
+            (d, p, h["subj"], "@type", f'https://schema.org/{h["cat"]}'),
+            (d, p, h["subj"], "surface", h["subj_surface"]),
+            (d, p, h["subj"], h["pred"], h["obj_surface"]),
+            (d, p, h["subj"], "page", page_path),
+            (d, p, h["subj"], "prov", f"_:m{c}"),
+            (d, c, f"_:m{c}", "sentence", f"s{h['s']}"),
+        ]
+
+    # ---------------- infobox carrier + expected rows
+    infobox = (
+        '<table class="infobox wiki"><tbody>\n'
+        f"<tr><th>Category</th><td>{page_cat}</td></tr>\n"
+        "<tr><td>orphan cell: no th, must be dropped</td></tr>\n"
+        f"<tr><th>Sentences</th><td>{n_sent}</td></tr>\n"
+        f"<tr><th>Doc</th><td>{d}</td></tr>\n"
+        "</tbody></table>"
+    )
+    infobox_rows = [
+        (d, 0, 0, "Category", page_cat),
+        (d, 0, 1, "Sentences", str(n_sent)),
+        (d, 0, 2, "Doc", str(d)),
+    ]
+
+    paras = "\n".join(f"<p>{s}</p>" for s in sents)
+    html = "\n".join(
+        [
+            "<!DOCTYPE html>",
+            f'<html lang="{lang}">',
+            "<head>",
+            '<meta charset="utf-8">',
+            f"<title>Doc {d} structured</title>",
+            '<script type="text/javascript">var decoy = {"not": "ld", "n": %d};</script>' % d,
+            bad_ld,
+            ld_script,
+            "<style>table { border: 1px } span::after { content: \"<junk>\" }</style>",
+            "</head>",
+            "<body>",
+            "<nav><ul><li>Home</li></ul></nav>",
+            f"<h1>Entry {d}</h1>",
+            paras,
+            '<template><div itemscope itemid="FAKE"><span itemprop="x">no</span></div></template>',
+            "\n".join(md_parts),
+            infobox,
+            '<table class="data"><tr><th>Decoy</th><td>not an infobox</td></tr></table>',
+            "<footer>&copy; 2024</footer>",
+            "</body>",
+            "</html>",
+            "",
+        ]
+    )
+    return {
+        "doc_id": d,
+        "url": f"https://synth.example/{page_cat}/{d:08d}",
+        "lang": lang,
+        "html": html.encode("utf-8"),
+        "jsonld": jsonld_rows,
+        "microdata": md_rows,
+        "infobox": infobox_rows,
+    }
+
+
+STRUCT_PAGES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _pages_df(docs: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [render_struct_page_py(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "url": [r["url"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(gen, STRUCT_PAGES_SCHEMA)
+
+
+def struct_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, lang, html) structured pages for the driver's docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return _pages_df(docs)
+
+
+def struct_pages_from_range(
+    spark: SparkSession, n_docs: int, partitions: int | None = None
+) -> DataFrame:
+    """Scale-free bench source: n_docs structured pages from an id range."""
+    par = partitions or spark.sparkContext.defaultParallelism
+    docs = (
+        spark.range(n_docs).withColumnRenamed("id", "doc_id").repartition(par, "doc_id")
+    )
+    return _pages_df(docs)
+
+
+# ------------------------------------------------------------- oracles
+def _struct_cte() -> str:
+    """Shared WITH-body: gold (xx pages included — structured data is
+    lang-independent) + hit ranks + the page-category relation."""
+    return f"""{gold_cte(include_xx=True)},
+shits AS (
+  SELECT doc_id, sent_idx, subj, pred, obj, subj_surface, obj_surface, category,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) - 1 AS BIGINT) AS i
+  FROM gold
+),
+pcat AS (
+  SELECT d.doc_id, tm.scat AS cat
+  FROM documents d JOIN tmpl tm ON tm.t = (d.doc_id * 7) % {_T}
+)"""
+
+
+def jsonld_sql() -> str:
+    """Oracle: flattened JSON-LD rows rebuilt from gold arithmetic."""
+    return f"""WITH {_struct_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(item_idx AS BIGINT) AS item_idx,
+       subj, pred, obj
+FROM (
+  SELECT doc_id, 2*i AS item_idx, subj, '@type' AS pred, category AS obj FROM shits
+  UNION ALL SELECT doc_id, 2*i, subj, pred, obj FROM shits
+  UNION ALL SELECT doc_id, 2*i, subj, 'tags', pred FROM shits
+  UNION ALL SELECT doc_id, 2*i, subj, 'tags', category FROM shits
+  UNION ALL SELECT doc_id, 2*i, subj, 'source', '_:j' || CAST(2*i+1 AS VARCHAR) FROM shits
+  UNION ALL SELECT doc_id, 2*i+1, '_:j' || CAST(2*i+1 AS VARCHAR), 'sentence',
+            's' || CAST(sent_idx AS VARCHAR) FROM shits
+)"""
+
+
+def microdata_sql() -> str:
+    """Oracle: microdata item/property rows rebuilt from gold arithmetic."""
+    return f"""WITH {_struct_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(item_idx AS BIGINT) AS item_idx,
+       subj, prop, value
+FROM (
+  SELECT h.doc_id, 2*h.i AS item_idx, h.subj, '@type' AS prop,
+         'https://schema.org/' || h.category AS value FROM shits h
+  UNION ALL SELECT h.doc_id, 2*h.i, h.subj, 'surface', h.subj_surface FROM shits h
+  UNION ALL SELECT h.doc_id, 2*h.i, h.subj, h.pred, h.obj_surface FROM shits h
+  UNION ALL SELECT h.doc_id, 2*h.i, h.subj, 'page',
+            '/' || p.cat || '/' || {_pad8('h.doc_id')}
+            FROM shits h JOIN pcat p ON p.doc_id = h.doc_id
+  UNION ALL SELECT h.doc_id, 2*h.i, h.subj, 'prov',
+            '_:m' || CAST(2*h.i+1 AS VARCHAR) FROM shits h
+  UNION ALL SELECT h.doc_id, 2*h.i+1, '_:m' || CAST(2*h.i+1 AS VARCHAR), 'sentence',
+            's' || CAST(h.sent_idx AS VARCHAR) FROM shits h
+)"""
+
+
+def infobox_sql() -> str:
+    """Oracle: infobox rows — page category / n_sent / doc id; the
+    decoy table and the th-less row contribute nothing."""
+    return f"""WITH {_struct_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS table_idx,
+       CAST(row_idx AS BIGINT) AS row_idx, ikey, ival
+FROM (
+  SELECT p.doc_id, 0 AS row_idx, 'Category' AS ikey, p.cat AS ival FROM pcat p
+  UNION ALL SELECT d.doc_id, 1, 'Sentences', CAST(1 + d.doc_id % 3 AS VARCHAR)
+            FROM documents d
+  UNION ALL SELECT d.doc_id, 2, 'Doc', CAST(d.doc_id AS VARCHAR) FROM documents d
+)"""
+
+
+def structdata_entities_sql() -> str:
+    """Oracle: the corpus-level KG built from the JSON-LD modality —
+    relation rows only (annotation preds filtered), grouped across
+    pages. Exactly the gold relation set with mention counts."""
+    return f"""WITH {_struct_cte()}
+SELECT subj, pred, obj,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM gold
+GROUP BY subj, pred, obj"""
+
+
+def structdata_profile_sql() -> str:
+    """Oracle: per-page counts of all three views off ONE parse —
+    closed form: 6 rows per hit and modality, 3 infobox rows always."""
+    return f"""WITH {_struct_cte()},
+hitn AS (
+  SELECT d.doc_id, COALESCE(c.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM shits GROUP BY doc_id) c
+    ON c.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(6*n AS BIGINT) AS n_jsonld,
+       CAST(6*n AS BIGINT) AS n_microdata,
+       CAST(3 AS BIGINT) AS n_infobox
+FROM hitn"""

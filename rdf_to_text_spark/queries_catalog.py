@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import fixtures, fixtures_web
+from . import fixtures, fixtures_struct, fixtures_web
 from .operators import delex, dedup, evalmetrics, graph, similarity, text_analysis, vocab
 from .operators.canonicalize import connected_components, first_token_clusters
 from .pipeline import extract_pipeline
@@ -3936,4 +3936,107 @@ def crawl_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("kept_ts"),
         "n_versions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured-data extraction (the machine-readable half of KG construction
+# from crawl pages: JSON-LD / microdata / infobox tables — the Web Data
+# Commons surface). Fixtures render the SAME gold triples as the flagship
+# into all three carriers (fixtures_struct.py), so every query below is
+# gated by the same closed-form arithmetic that gates prose extraction.
+# Hostile-input coverage runs INSIDE the checked path: malformed ld+json
+# on every 17th page, decoy scripts/tables/template items must all be
+# invisible in the hash-matched output.
+
+
+@_register_extra("kg_jsonld_triples", fixtures_struct.jsonld_sql())
+def kg_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD flattening (operators/structdata.py:html_jsonld): every
+    ld+json block parsed, @graph unwrapped, nodes numbered in document
+    order, anonymous nodes minted deterministic _:jN labels, nested
+    objects linked by reference triples. Oracle rebuilds all six row
+    kinds per gold hit from doc_id arithmetic."""
+    from . import fixtures_struct
+    from .operators.structdata import html_jsonld
+
+    pages = fixtures_struct.struct_pages_from_documents(spark, sf_dir)
+    return html_jsonld(pages)
+
+
+@_register_extra("kg_microdata_triples", fixtures_struct.microdata_sql())
+def kg_microdata_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata extraction (operators/structdata.py:html_microdata):
+    itemscope items in document order, WHATWG source-attribute ladder
+    (meta→content, a→href, span→collapsed text with inline markup),
+    nested items as reference triples. Oracle covers @type/surface/
+    predicate/page/prov/sentence rows per gold hit."""
+    from . import fixtures_struct
+    from .operators.structdata import html_microdata
+
+    pages = fixtures_struct.struct_pages_from_documents(spark, sf_dir)
+    return html_microdata(pages)
+
+
+@_register_extra("kg_infobox_rows", fixtures_struct.infobox_sql())
+def kg_infobox_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infobox-table mining (operators/structdata.py:html_infobox):
+    tables whose class list contains 'infobox' yield key/value rows;
+    class-less decoy tables and th-less rows must vanish."""
+    from . import fixtures_struct
+    from .operators.structdata import html_infobox
+
+    pages = fixtures_struct.struct_pages_from_documents(spark, sf_dir)
+    return html_infobox(pages)
+
+
+@_register_extra("kg_structdata_entities", fixtures_struct.structdata_entities_sql())
+def kg_structdata_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level KG from the JSON-LD modality
+    (operators/structdata.py:structdata_kg): annotation predicates
+    dropped, relation rows deduped across pages with doc/mention
+    counts — one combiner-friendly shuffle on (subj, pred, obj). The
+    oracle is the gold relation set grouped the same way: structured-
+    data extraction reconstructs EXACTLY the prose-extraction KG."""
+    from . import fixtures_struct
+    from .operators.structdata import structdata_kg
+
+    pages = fixtures_struct.struct_pages_from_documents(spark, sf_dir)
+    return structdata_kg(pages)
+
+
+@_register_extra("kg_structdata_profile", fixtures_struct.structdata_profile_sql())
+def kg_structdata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-once profiling of the structured-data surface
+    (operators/structdata.py:structdata_counts): per-page counts of all
+    three views off ONE tokenizer pass; closed-form oracle (6 rows per
+    gold hit per modality, 3 infobox rows on every page)."""
+    from . import fixtures_struct
+    from .operators.structdata import structdata_counts
+
+    pages = fixtures_struct.struct_pages_from_documents(spark, sf_dir)
+    return structdata_counts(pages)
+
+
+@_register_extra("kg_snapshot_delta", fixtures.snapshot_delta_sql())
+def kg_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance (operators/kg_delta.py:triple_delta):
+    both crawl generations run the REAL extraction pipeline (generation
+    2: every 11th url vanished, every 7th surviving page gained one
+    revision sentence from shifted arithmetic), then the fact-set delta
+    — one combiner-friendly shuffle on the full fact key — yields the
+    added/removed rows the oracle states in closed form (EXCEPT both
+    ways, so filler revisions and duplicate-fact revisions cancel
+    exactly as the operator's set semantics say they must)."""
+    from .fixtures import pages_from_documents, pages_v2_from_documents
+    from .operators.kg_delta import triple_delta
+
+    old = extract_pipeline(pages_from_documents(spark, sf_dir))
+    new = extract_pipeline(pages_v2_from_documents(spark, sf_dir))
+    return triple_delta(old, new).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "subj",
+        "pred",
+        "obj",
+        "change",
     )
