@@ -191,6 +191,13 @@ def main() -> None:
             "web_anchor_text",
             "web_url_normalize",
             "web_robots_gate",
+            # structured-data KG extraction + incremental maintenance
+            "kg_jsonld_triples",
+            "kg_microdata_triples",
+            "kg_infobox_rows",
+            "kg_structdata_entities",
+            "kg_structdata_profile",
+            "kg_snapshot_delta",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

@@ -359,3 +359,14 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(6*n AS BIGINT) AS n_microdata,
        CAST(3 AS BIGINT) AS n_infobox
 FROM hitn"""
+
+
+def microdata_linked_sql() -> str:
+    """Oracle for cross-modality entity linking: resolving the
+    microdata surface forms through the alias ladder must reconstruct
+    the gold relation rows exactly — one row per gold hit, xx pages
+    included (structured data is lang-independent)."""
+    return (
+        f"WITH {gold_cte(include_xx=True)} "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, subj, pred, obj FROM gold"
+    )

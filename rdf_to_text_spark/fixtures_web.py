@@ -627,3 +627,25 @@ SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
                 '%Y-%m-%d %H:%M:%S') AS kept_ts,
        CAST(CASE WHEN c.doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_versions
 FROM dcat c"""
+
+
+def crawl_frontier_sql(max_depth: int = 3, seed_mod: int = 97) -> str:
+    """Oracle: min-hop BFS depths from the seed set (doc_id % seed_mod
+    == 0) over the in-corpus link graph, bounded by max_depth — a
+    recursive CTE whose fan-out is bounded (≤4 outlinks per node ×
+    max_depth rounds), grouped to the minimum depth per reached doc."""
+    return f"""WITH RECURSIVE {_web_cte()},
+edges AS (
+  SELECT r.doc_id AS src, r.j AS dst
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+),
+reach(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {seed_mod} = 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+  WHERE r.depth < {max_depth}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(depth) AS BIGINT) AS depth
+FROM reach GROUP BY doc_id"""

@@ -199,3 +199,70 @@ def structdata_counts(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("doc_id", "html").mapInPandas(run, counts_schema)
+
+
+def microdata_fact_candidates(pages: DataFrame) -> DataFrame:
+    """pages(doc_id, html) → (doc_id, item_idx, subj_surface, pred,
+    obj_surface): one row per microdata RELATION (annotation props
+    dropped), already paired with the item's `surface` property —
+    assembled inside the SAME Arrow pass as the parse, so the
+    downstream linker needs no self-join and no second parse (at 100 TB
+    a join of two parse branches would re-tokenize the corpus twice)."""
+    cand_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("item_idx", LongType()),
+            StructField("subj_surface", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj_surface", StringType()),
+        ]
+    )
+
+    def per_doc(doc_id, html):
+        d = int(doc_id)
+        surfaces: dict[int, str] = {}
+        rels: list[tuple[int, str, str]] = []
+        for item_idx, _subj, prop, value in parse_structdata_py(html)["microdata"]:
+            if prop == "surface":
+                surfaces.setdefault(item_idx, value)
+            elif prop not in ANNOTATION_PREDS:
+                rels.append((item_idx, prop, value))
+        for item_idx, prop, value in rels:
+            if item_idx in surfaces:
+                yield (d, item_idx, surfaces[item_idx], prop, value)
+
+    return _exploded(pages, ["doc_id", "html"], cand_schema, per_doc)
+
+
+def microdata_linked_triples(pages: DataFrame) -> DataFrame:
+    """Cross-modality entity linking: microdata facts carry SURFACE
+    forms (itemprop text/content); resolving both slots through the
+    broadcast alias ladder (exact → lowercase → paren-stripped, the
+    same ladder prose extraction uses — operators/extract.py:
+    _link_series) must reconstruct the canonical KG exactly.
+
+    Plan shape: parse+pair stage (narrow) → one Arrow link stage
+    (narrow) — zero shuffle end to end; the alias table is a
+    dictionary-sized closure exactly like the reference's S5 alias
+    dict (process-cached on executors).
+    """
+    import pandas as pd  # noqa: F811 (worker-side)
+    from pyspark.sql.functions import pandas_udf
+
+    from ..templates import build_alias_index
+    from .extract import _link_series
+
+    alias_map = {s: c for s, (c, _cat) in build_alias_index().items()}
+
+    @pandas_udf(StringType())
+    def link(s: pd.Series) -> pd.Series:
+        return _link_series(s, alias_map)
+
+    cand = microdata_fact_candidates(pages)
+    out = cand.select(
+        "doc_id",
+        link("subj_surface").alias("subj"),
+        "pred",
+        link("obj_surface").alias("obj"),
+    )
+    return out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())

@@ -577,3 +577,45 @@ def latest_snapshot(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def crawl_frontier(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Frontier expansion over the link graph: (doc_id, depth) — the
+    minimum hop count from any seed, bounded by ``max_depth`` (the
+    crawl-scheduling primitive: which urls does generation k+1 fetch).
+
+    Per round: frontier⋈edges hash join on src + distinct + anti join
+    against the visited set — the standard distributed BFS plan. The
+    frontier and visited frames are localCheckpoint(eager)ed each round
+    (the CC/PageRank lineage-cut idiom: without it Catalyst re-optimizes
+    a round-over-round nested plan). Rounds are bounded by ``max_depth``,
+    not data size; an exhausted frontier short-circuits. At web scale
+    the visited set is the accumulating term — it stays (doc_id, depth)
+    only, and the anti join shuffles ids, never page payloads.
+    """
+    frontier = (
+        seeds.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            # no broadcast hint: a seed round is tiny but mid-BFS
+            # frontiers can be graph-sized — AQE picks broadcast when
+            # the materialized (checkpointed) frontier is actually small
+            edges.join(frontier.select(F.col("doc_id").alias("src")), "src")
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("depth", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

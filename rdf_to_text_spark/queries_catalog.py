@@ -4040,3 +4040,34 @@ def kg_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj",
         "change",
     )
+
+
+@_register_extra("kg_microdata_linked", fixtures_struct.microdata_linked_sql())
+def kg_microdata_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality entity linking
+    (operators/structdata.py:microdata_linked_triples): microdata facts
+    carry SURFACE forms; resolving both slots through the broadcast
+    alias ladder (the prose extractor's exact→lower→paren ladder) must
+    reconstruct the canonical gold KG exactly — parse+pair+link all
+    narrow, zero shuffle."""
+    from . import fixtures_struct as fs
+    from .operators.structdata import microdata_linked_triples
+
+    pages = fs.struct_pages_from_documents(spark, sf_dir)
+    return microdata_linked_triples(pages)
+
+
+@_register_extra("web_crawl_frontier", fixtures_web.crawl_frontier_sql())
+def web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling (operators/webtext.py:crawl_frontier): min-hop
+    BFS depths from the seed set (doc_id % 97 == 0) over the in-corpus
+    link graph, ≤3 rounds of frontier⋈edges + anti-join-vs-visited with
+    per-round lineage cuts. Oracle = bounded recursive CTE grouped to
+    MIN(depth)."""
+    from .operators.webtext import crawl_frontier, link_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    edges = link_edges(pages, docs)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0)
+    return crawl_frontier(edges, seeds, max_depth=3)

@@ -134,3 +134,23 @@ def test_none_and_bytes_inputs():
     assert parse_structdata_py(None) == {"jsonld": [], "microdata": [], "infobox": []}
     out = parse_structdata_py(b'<div itemscope itemid="B"><meta itemprop="k" content="v"></div>')
     assert out["microdata"] == [(0, "B", "k", "v")]
+
+
+def test_microdata_fact_candidates_pairing(spark):
+    from rdf_to_text_spark.operators.structdata import microdata_fact_candidates
+
+    html = (
+        '<div itemscope itemid="A">'
+        '<meta itemprop="surface" content="a surf">'
+        '<span itemprop="p1">v1</span>'
+        '<div itemprop="prov" itemscope><span itemprop="sentence">s0</span></div>'
+        "</div>"
+        # item without a surface row: relation rows are dropped
+        '<div itemscope itemid="B"><span itemprop="p2">v2</span></div>'
+    )
+    pages = spark.createDataFrame([(1, html.encode())], "doc_id long, html binary")
+    rows = {
+        (r.doc_id, r.item_idx, r.subj_surface, r.pred, r.obj_surface)
+        for r in microdata_fact_candidates(pages).collect()
+    }
+    assert rows == {(1, 0, "a surf", "p1", "v1")}
