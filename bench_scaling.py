@@ -29,12 +29,14 @@ import time
 
 _MATERIALIZE = """
 import sys
-from rdf_to_text_spark import fixtures, fixtures_web
+from rdf_to_text_spark import fixtures, fixtures_struct, fixtures_web
 from rdf_to_text_spark.session import get_spark
 
 n_docs, path, mode = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app_name="bench_setup", master="local[32]", shuffle_partitions=32)
 gen = (fixtures_web.rich_pages_from_range if mode == "rich"
+       else fixtures_struct.struct_pages_from_range
+       if mode in ("struct", "struct_counts")
        else fixtures.pages_from_range)
 gen(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
 spark.stop()
@@ -47,7 +49,10 @@ def materialize_pages(n_docs: int, mode: str = "plain") -> str:
     evicts the page cache and distorts the timed runs."""
     import subprocess
 
-    suffix = "" if mode == "plain" else f"_{mode}"
+    # struct_counts is a control over the SAME pages as struct
+    suffix = ("" if mode == "plain"
+              else "_struct" if mode in ("struct", "struct_counts")
+              else f"_{mode}")
     path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}{suffix}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
@@ -63,6 +68,7 @@ def materialize_pages(n_docs: int, mode: str = "plain") -> str:
 _WORKER = """
 import json, sys, time
 from rdf_to_text_spark.pipeline import extract_pipeline
+from rdf_to_text_spark.operators.structdata import structdata_counts, structdata_facts
 from rdf_to_text_spark.operators.webtext import extract_triples_from_rich_html
 from rdf_to_text_spark.session import get_spark
 
@@ -71,6 +77,8 @@ cpus, pages_path, n_docs, mode = (
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
 pages = spark.read.parquet(pages_path)
 job = ((lambda df: extract_triples_from_rich_html(df)) if mode == "rich"
+       else (lambda df: structdata_facts(df)) if mode == "struct"
+       else (lambda df: structdata_counts(df)) if mode == "struct_counts"
        else (lambda df: extract_pipeline(df, use_html=True)))
 # warmup touches EVERY partition so all Python workers fork+import
 # outside the measured window (sample keeps the work small)
@@ -112,15 +120,18 @@ def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--rich"]
-    mode = "rich" if "--rich" in sys.argv[1:] else "plain"
+    args = [a for a in sys.argv[1:]
+            if a not in ("--rich", "--struct", "--struct-counts")]
+    mode = ("rich" if "--rich" in sys.argv[1:]
+            else "struct_counts" if "--struct-counts" in sys.argv[1:]
+            else "struct" if "--struct" in sys.argv[1:] else "plain")
     n_docs = int(args[0]) if args else 2_000_000
     pages_path = materialize_pages(n_docs, mode)
     r8 = run_at(8, pages_path, n_docs, mode)
     r32 = run_at(32, pages_path, n_docs, mode)
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     out = {
-        "metric": f"scaling_efficiency_8_to_32{'_rich' if mode == 'rich' else ''}",
+        "metric": f"scaling_efficiency_8_to_32{'' if mode == 'plain' else '_' + mode}",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_docs": n_docs,
@@ -131,6 +142,10 @@ def main() -> None:
     job_desc = (
         "parquet scan → HTML tokenize → block filter → fused extract"
         if mode == "rich"
+        else "parquet scan → one-pass structured-data parse (jsonld+microdata+infobox)"
+        if mode == "struct"
+        else "parquet scan → same parse, per-page COUNTS out (output-bandwidth control)"
+        if mode == "struct_counts"
         else "parquet scan → fused extract"
     )
     with open("BENCH.md", "a") as f:

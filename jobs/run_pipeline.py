@@ -48,6 +48,14 @@ def main() -> int:
         "plug text_analysis.lang_id on the extracted text to detect "
         "instead of assuming)",
     )
+    ap.add_argument(
+        "--structdata",
+        action="store_true",
+        help="also mine JSON-LD structured data from the html and union "
+        "the relation facts into the triple stream (sent_idx = -1 marks "
+        "structured provenance); with --synthetic, renders pages that "
+        "carry JSON-LD/microdata/infobox alongside prose (fixtures_struct)",
+    )
     ap.add_argument("--output", required=True, help="output base dir (edges/ lineage/)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--master", default=None)
@@ -67,7 +75,14 @@ def main() -> int:
     spark = get_spark(app_name="kg_pipeline", master=args.master)
     t0 = time.time()
     if args.synthetic:
-        if args.rich_html:
+        if args.structdata:
+            from rdf_to_text_spark import fixtures_struct
+
+            # struct pages carry prose <p> sentences AND the three
+            # structured carriers — both extraction paths get real input
+            pages = fixtures_struct.struct_pages_from_range(spark, args.synthetic)
+            args.rich_html = True  # prose lives in real html here
+        elif args.rich_html:
             from rdf_to_text_spark import fixtures_web
 
             pages = fixtures_web.rich_pages_from_range(spark, args.synthetic)
@@ -104,6 +119,34 @@ def main() -> int:
         from rdf_to_text_spark.operators.webtext import extract_triples_from_rich_html
 
         extract = extract_triples_from_rich_html
+    if args.structdata:
+        from pyspark.sql import functions as F
+
+        from rdf_to_text_spark.operators.extract import extract_triples
+        from rdf_to_text_spark.operators.structdata import jsonld_facts_with_url
+
+        prose = extract or extract_triples
+
+        def extract_with_struct(chunk):
+            # prose triples + JSON-LD relation facts, one TRIPLES_SCHEMA
+            # stream; structured rows mark provenance with sent_idx = -1
+            # and carry no surface/span fields (there is no sentence)
+            sd = jsonld_facts_with_url(chunk).select(
+                "doc_id",
+                "url",
+                F.lit(-1).cast("int").alias("sent_idx"),
+                "subj",
+                "pred",
+                "obj",
+                F.lit(None).cast("string").alias("subj_surface"),
+                F.lit(None).cast("string").alias("obj_surface"),
+                F.lit(-1).cast("int").alias("template_id"),
+                F.lit(-1).cast("int").alias("char_start"),
+                F.lit(-1).cast("int").alias("char_end"),
+            )
+            return prose(chunk).unionByName(sd)
+
+        extract = extract_with_struct
     results = run_resumable(
         spark, pages, args.output, n_chunks=args.chunks, extract=extract
     )

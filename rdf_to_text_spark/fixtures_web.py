@@ -649,3 +649,22 @@ reach(doc_id, depth) AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(MIN(depth) AS BIGINT) AS depth
 FROM reach GROUP BY doc_id"""
+
+
+def sitemap_gap_sql() -> str:
+    """Oracle for the sitemap-vs-crawl scheduling gap: ghost urls
+    (advertised beyond the crawl) are 'uncrawled'; every 6th doc's
+    advertised lastmod is one hour past our capture ('stale'); docs
+    advertising no lastmod (every 10th+3) or an equal lastmod are
+    'fresh' — all closed-form arithmetic over the url scheme."""
+    return f"""WITH {_web_cte()}
+SELECT url, status FROM (
+  SELECT 'https://synth.example/' || scat || '/' || {_pad8('doc_id')} AS url,
+         CASE WHEN doc_id % 6 = 0 THEN 'stale' ELSE 'fresh' END AS status
+  FROM dcat
+  UNION ALL
+  SELECT 'https://synth.example/' || scat || '/' ||
+         CAST(doc_id + 10000000000 AS VARCHAR),
+         'uncrawled'
+  FROM dcat WHERE doc_id % 9 = 0
+)"""

@@ -266,3 +266,28 @@ def microdata_linked_triples(pages: DataFrame) -> DataFrame:
         link("obj_surface").alias("obj"),
     )
     return out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+
+def jsonld_facts_with_url(pages: DataFrame) -> DataFrame:
+    """pages(doc_id, url, html) → JSON-LD RELATION facts with page
+    provenance (doc_id, url, item_idx, subj, pred, obj) — the shape the
+    production sink unions with prose-extracted triples
+    (jobs/run_pipeline.py --structdata). Annotation predicates are
+    dropped in-batch; still one narrow Arrow stage, zero shuffle."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("item_idx", LongType()),
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+        ]
+    )
+
+    def per_doc(doc_id, url, html):
+        for item_idx, subj, pred, obj in parse_structdata_py(html)["jsonld"]:
+            if pred not in ANNOTATION_PREDS:
+                yield (int(doc_id), url, item_idx, subj, pred, obj)
+
+    return _exploded(pages, ["doc_id", "url", "html"], schema, per_doc)

@@ -4071,3 +4071,115 @@ def web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = link_edges(pages, docs)
     seeds = docs.filter(F.col("doc_id") % 97 == 0)
     return crawl_frontier(edges, seeds, max_depth=3)
+
+
+@_register_extra("web_sitemap_gap", fixtures_web.sitemap_gap_sql())
+def web_sitemap_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling off the sitemap protocol
+    (sources/sitemap.py): executor-written urlset shards (lastmod /
+    changefreq / priority per arithmetic, ghost urls beyond the crawl,
+    plus a sitemapindex that must parse as kind='sitemap' and stay out
+    of the url set) → real reader → ONE left join against the crawl
+    snapshot → uncrawled/stale/fresh per advertised url. File-round-trip
+    harness (toPandas at driver scale, the warc_roundtrip pattern); the
+    underlying reader and gap join are collect-free."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.sitemap import read_sitemaps, sitemap_crawl_gap
+    from .templates import TEMPLATES
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    n_t = len(TEMPLATES)
+    work = tempfile.mkdtemp(prefix="sitemaps_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        n_shards = 4
+        sharded = docs.withColumn("shard", F.col("doc_id") % n_shards).repartition(
+            n_shards, "shard"
+        )
+
+        def write_shards(batches):
+            import pandas as pd
+
+            by_shard: dict[int, list[int]] = {}
+            for pdf in batches:
+                for d, sh in zip(pdf["doc_id"], pdf["shard"]):
+                    by_shard.setdefault(int(sh), []).append(int(d))
+            written = []
+            for sh, ids in by_shard.items():
+                entries = []
+                for d in sorted(ids):
+                    cat = TEMPLATES[(d * 7) % n_t][1]
+                    parts = [f"<loc> https://synth.example/{cat}/{d:08d} </loc>"]
+                    if d % 10 != 3:
+                        iso = datetime.datetime.fromtimestamp(
+                            base + d + (3600 if d % 6 == 0 else 0),
+                            datetime.timezone.utc,
+                        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                        parts.append(f"<lastmod>{iso}</lastmod>")
+                    if d % 2 == 0:
+                        parts.append("<changefreq>daily</changefreq>")
+                    if d % 5 == 0:
+                        parts.append("<priority>0.8</priority>")
+                    entries.append("<url>" + "".join(parts) + "</url>")
+                    if d % 9 == 0:
+                        entries.append(
+                            "<url><loc>https://synth.example/"
+                            f"{cat}/{d + 10**10}</loc></url>"
+                        )
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                    + "\n".join(entries)
+                    + "\n</urlset>\n"
+                )
+                with open(os.path.join(work, f"sitemap-{sh}.xml"), "w") as fh:
+                    fh.write(xml)
+                written.append(sh)
+            yield pd.DataFrame({"shard": pd.Series(written, dtype="int64")})
+
+        sharded.mapInPandas(write_shards, "shard long").count()
+        with open(os.path.join(work, "index.xml"), "w") as fh:
+            fh.write(
+                '<?xml version="1.0"?>'
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(
+                    f"<sitemap><loc>file://{work}/sitemap-{s}.xml</loc></sitemap>"
+                    for s in range(n_shards)
+                )
+                + "</sitemapindex>"
+            )
+
+        sm = read_sitemaps(spark, work)
+        urls = sm.filter(F.col("kind") == "url").select(
+            "loc",
+            F.to_timestamp(
+                F.regexp_replace("lastmod", "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"
+            ).alias("lastmod_ts"),
+        )
+
+        def crawl_rows(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ds = [int(x) for x in pdf["doc_id"]]
+                yield pd.DataFrame(
+                    {
+                        "url": [
+                            f"https://synth.example/{TEMPLATES[(d*7)%n_t][1]}/{d:08d}"
+                            for d in ds
+                        ],
+                        "sec": pd.Series([base + d for d in ds], dtype="int64"),
+                    }
+                )
+
+        crawl = docs.mapInPandas(crawl_rows, "url string, sec long").select(
+            "url", F.timestamp_seconds("sec").alias("warc_ts")
+        )
+        pdf = sitemap_crawl_gap(urls, crawl).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf[["url", "status"]], "url string, status string")

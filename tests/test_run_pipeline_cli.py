@@ -85,3 +85,47 @@ def test_run_pipeline_warc_ingest(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(warc_dir, ignore_errors=True)
+
+
+def test_run_pipeline_structdata_union(spark):
+    """--structdata: prose triples + JSON-LD facts in ONE sink stream.
+
+    Prose rows (sent_idx >= 0, lang-gated) must equal the gold en-fact
+    set; structured rows (sent_idx = -1) must equal the gold fact set
+    over ALL pages (structured data is lang-independent), so xx pages
+    contribute structured-only facts."""
+    from rdf_to_text_spark.fixtures import gold_triples_py
+    from rdf_to_text_spark.fixtures_struct import struct_hits_py
+
+    n = 240
+    out_dir = tempfile.mkdtemp(prefix="kgcli_sd_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--synthetic", str(n), "--output", out_dir,
+                "--chunks", "2", "--master", "local[4]", "--structdata",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        edges = spark.read.parquet(f"{out_dir}/edges")
+        rows = edges.select("doc_id", "sent_idx", "subj", "pred", "obj").collect()
+        prose = {(r.doc_id, r.subj, r.pred, r.obj) for r in rows if r.sent_idx >= 0}
+        struct = {(r.doc_id, r.subj, r.pred, r.obj) for r in rows if r.sent_idx == -1}
+        gold_en = {
+            (d, subj, pred, obj)
+            for d, _s, subj, pred, obj in gold_triples_py(list(range(n)))
+        }
+        gold_all = {
+            (d, h["subj"], h["pred"], h["obj"])
+            for d in range(n)
+            for h in struct_hits_py(d)
+        }
+        assert prose == gold_en
+        assert struct == gold_all
+        assert struct - prose  # xx pages: structured-only facts exist
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
