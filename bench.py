@@ -198,6 +198,11 @@ def main() -> None:
             "kg_structdata_entities",
             "kg_structdata_profile",
             "kg_snapshot_delta",
+            "kg_microdata_linked",
+            "kg_multimodal_kg",
+            "web_crawl_frontier",
+            "web_sitemap_gap",
+            "web_fetch_schedule",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

@@ -370,3 +370,17 @@ def microdata_linked_sql() -> str:
         f"WITH {gold_cte(include_xx=True)} "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, subj, pred, obj FROM gold"
     )
+
+
+def multimodal_kg_sql() -> str:
+    """Oracle for the tri-modal KG rollup: every gold fact is carried by
+    JSON-LD and microdata on every page (xx included); prose extraction
+    attests it only where some en page carries it — so n_modalities is
+    2 + [any en doc], and n_docs counts distinct carrying docs."""
+    return f"""WITH {gold_cte(include_xx=True)}
+SELECT subj, pred, obj,
+       CAST(2 + MAX(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modalities,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM gold
+GROUP BY subj, pred, obj"""

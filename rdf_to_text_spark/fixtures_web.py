@@ -668,3 +668,24 @@ SELECT url, status FROM (
          'uncrawled'
   FROM dcat WHERE doc_id % 9 = 0
 )"""
+
+
+def fetch_schedule_sql() -> str:
+    """Oracle for the composed crawl scheduler: non-fresh advertised
+    urls that the '*' robots group allows — Airport paths only when the
+    id's last digit is 0 (the Allow '/Airport/*0$' override); ghost ids
+    (+10^10) keep the last digit, so the rule bites them identically."""
+    return f"""WITH {_web_cte()}
+SELECT url, reason FROM (
+  SELECT doc_id, scat,
+         'https://synth.example/' || scat || '/' || {_pad8('doc_id')} AS url,
+         'stale' AS reason
+  FROM dcat WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, scat,
+         'https://synth.example/' || scat || '/' ||
+         CAST(doc_id + 10000000000 AS VARCHAR),
+         'uncrawled'
+  FROM dcat WHERE doc_id % 9 = 0
+)
+WHERE scat <> 'Airport' OR doc_id % 10 = 0"""

@@ -158,8 +158,10 @@ def structdata_kg(pages: DataFrame) -> DataFrame:
     (annotation predicates dropped), deduped across pages with mention
     counts — (subj, pred, obj, n_docs, n_mentions).
 
-    One shuffle on (subj, pred, obj) with map-side partial aggregation;
-    head-entity skew is bounded because the key includes the object.
+    countDistinct compiles to Spark's two-phase distinct aggregate
+    (partial agg on (s,p,o,doc) → exchange → partial agg on (s,p,o) →
+    exchange), both phases map-side combined; head-entity skew is
+    bounded because every key includes the object.
     """
     facts = html_jsonld(pages).filter(~F.col("pred").isin(*ANNOTATION_PREDS))
     return facts.groupBy("subj", "pred", "obj").agg(

@@ -48,6 +48,10 @@ ORACLES: dict[str, str] = {}
 #   idiom as top_orders_per_segment), kg_levi_edges (its _ne superset
 #   stays), dedup_ngram_jaccard (the same operator is the E2E verify
 #   rung, now hash-gated inside kg_e2e_crawl).
+# Late-r5 swap: kg_multimodal_kg (the tri-modal KG capstone: prose +
+#   JSON-LD + alias-linked microdata rolled into one fact table with
+#   modality/doc support) replaces multimodal_frame_plan (metadata-only
+#   arithmetic, the window's weakest query; still oracle-swept here).
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
@@ -2559,7 +2563,7 @@ def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_extra(
     "multimodal_frame_plan",
     """SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(unnest(generate_series(0, greatest(CAST(500 + (doc_id * 91) % 20000 AS INT) - 1, 0), 1000)) AS INT) AS frame_ts_ms
@@ -4073,113 +4077,211 @@ def web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(edges, seeds, max_depth=3)
 
 
-@_register_extra("web_sitemap_gap", fixtures_web.sitemap_gap_sql())
-def web_sitemap_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl scheduling off the sitemap protocol
-    (sources/sitemap.py): executor-written urlset shards (lastmod /
-    changefreq / priority per arithmetic, ghost urls beyond the crawl,
-    plus a sitemapindex that must parse as kind='sitemap' and stay out
-    of the url set) → real reader → ONE left join against the crawl
-    snapshot → uncrawled/stale/fresh per advertised url. File-round-trip
-    harness (toPandas at driver scale, the warc_roundtrip pattern); the
-    underlying reader and gap join are collect-free."""
+def _sitemap_fixture_urls(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
+    """Shared sitemap fixture: executor-written urlset shards (lastmod /
+    changefreq / priority per arithmetic, ghost urls beyond the crawl)
+    plus a sitemapindex file, read back through the REAL reader —
+    returns (loc, lastmod_ts) url rows (index rows excluded by kind)."""
     import datetime
     import os
-    import shutil
-    import tempfile
 
-    from .sources.sitemap import read_sitemaps, sitemap_crawl_gap
+    from .sources.sitemap import read_sitemaps
     from .templates import TEMPLATES
 
     base = 1704067200  # 2024-01-01T00:00:00Z
     n_t = len(TEMPLATES)
-    work = tempfile.mkdtemp(prefix="sitemaps_")
-    try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-        n_shards = 4
-        sharded = docs.withColumn("shard", F.col("doc_id") % n_shards).repartition(
-            n_shards, "shard"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n_shards = 4
+    sharded = docs.withColumn("shard", F.col("doc_id") % n_shards).repartition(
+        n_shards, "shard"
+    )
+
+    def write_shards(batches):
+        import pandas as pd
+
+        by_shard: dict[int, list[int]] = {}
+        for pdf in batches:
+            for d, sh in zip(pdf["doc_id"], pdf["shard"]):
+                by_shard.setdefault(int(sh), []).append(int(d))
+        written = []
+        for sh, ids in by_shard.items():
+            entries = []
+            for d in sorted(ids):
+                cat = TEMPLATES[(d * 7) % n_t][1]
+                parts = [f"<loc> https://synth.example/{cat}/{d:08d} </loc>"]
+                if d % 10 != 3:
+                    iso = datetime.datetime.fromtimestamp(
+                        base + d + (3600 if d % 6 == 0 else 0),
+                        datetime.timezone.utc,
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    parts.append(f"<lastmod>{iso}</lastmod>")
+                if d % 2 == 0:
+                    parts.append("<changefreq>daily</changefreq>")
+                if d % 5 == 0:
+                    parts.append("<priority>0.8</priority>")
+                entries.append("<url>" + "".join(parts) + "</url>")
+                if d % 9 == 0:
+                    entries.append(
+                        "<url><loc>https://synth.example/"
+                        f"{cat}/{d + 10**10}</loc></url>"
+                    )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "\n".join(entries)
+                + "\n</urlset>\n"
+            )
+            with open(os.path.join(work, f"sitemap-{sh}.xml"), "w") as fh:
+                fh.write(xml)
+            written.append(sh)
+        yield pd.DataFrame({"shard": pd.Series(written, dtype="int64")})
+
+    sharded.mapInPandas(write_shards, "shard long").count()
+    with open(os.path.join(work, "index.xml"), "w") as fh:
+        fh.write(
+            '<?xml version="1.0"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(
+                f"<sitemap><loc>file://{work}/sitemap-{s}.xml</loc></sitemap>"
+                for s in range(n_shards)
+            )
+            + "</sitemapindex>"
         )
 
-        def write_shards(batches):
-            import pandas as pd
+    sm = read_sitemaps(spark, work)
+    return sm.filter(F.col("kind") == "url").select(
+        "loc",
+        F.to_timestamp(
+            F.regexp_replace("lastmod", "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("lastmod_ts"),
+    )
 
-            by_shard: dict[int, list[int]] = {}
-            for pdf in batches:
-                for d, sh in zip(pdf["doc_id"], pdf["shard"]):
-                    by_shard.setdefault(int(sh), []).append(int(d))
-            written = []
-            for sh, ids in by_shard.items():
-                entries = []
-                for d in sorted(ids):
-                    cat = TEMPLATES[(d * 7) % n_t][1]
-                    parts = [f"<loc> https://synth.example/{cat}/{d:08d} </loc>"]
-                    if d % 10 != 3:
-                        iso = datetime.datetime.fromtimestamp(
-                            base + d + (3600 if d % 6 == 0 else 0),
-                            datetime.timezone.utc,
-                        ).strftime("%Y-%m-%dT%H:%M:%SZ")
-                        parts.append(f"<lastmod>{iso}</lastmod>")
-                    if d % 2 == 0:
-                        parts.append("<changefreq>daily</changefreq>")
-                    if d % 5 == 0:
-                        parts.append("<priority>0.8</priority>")
-                    entries.append("<url>" + "".join(parts) + "</url>")
-                    if d % 9 == 0:
-                        entries.append(
-                            "<url><loc>https://synth.example/"
-                            f"{cat}/{d + 10**10}</loc></url>"
-                        )
-                xml = (
-                    '<?xml version="1.0" encoding="UTF-8"?>\n'
-                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
-                    + "\n".join(entries)
-                    + "\n</urlset>\n"
-                )
-                with open(os.path.join(work, f"sitemap-{sh}.xml"), "w") as fh:
-                    fh.write(xml)
-                written.append(sh)
-            yield pd.DataFrame({"shard": pd.Series(written, dtype="int64")})
 
-        sharded.mapInPandas(write_shards, "shard long").count()
-        with open(os.path.join(work, "index.xml"), "w") as fh:
-            fh.write(
-                '<?xml version="1.0"?>'
-                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                + "".join(
-                    f"<sitemap><loc>file://{work}/sitemap-{s}.xml</loc></sitemap>"
-                    for s in range(n_shards)
-                )
-                + "</sitemapindex>"
+def _sitemap_fixture_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared crawl-snapshot twin of the sitemap fixture: (url, warc_ts)
+    at base + doc_id seconds — url arithmetic only, no page render."""
+    from .templates import TEMPLATES
+
+    base = 1704067200
+    n_t = len(TEMPLATES)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def crawl_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ds = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.example/{TEMPLATES[(d*7)%n_t][1]}/{d:08d}"
+                        for d in ds
+                    ],
+                    "sec": pd.Series([base + d for d in ds], dtype="int64"),
+                }
             )
 
-        sm = read_sitemaps(spark, work)
-        urls = sm.filter(F.col("kind") == "url").select(
-            "loc",
-            F.to_timestamp(
-                F.regexp_replace("lastmod", "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"
-            ).alias("lastmod_ts"),
-        )
+    return docs.mapInPandas(crawl_rows, "url string, sec long").select(
+        "url", F.timestamp_seconds("sec").alias("warc_ts")
+    )
 
-        def crawl_rows(batches):
-            import pandas as pd
 
-            for pdf in batches:
-                ds = [int(x) for x in pdf["doc_id"]]
-                yield pd.DataFrame(
-                    {
-                        "url": [
-                            f"https://synth.example/{TEMPLATES[(d*7)%n_t][1]}/{d:08d}"
-                            for d in ds
-                        ],
-                        "sec": pd.Series([base + d for d in ds], dtype="int64"),
-                    }
-                )
+@_register_extra("web_sitemap_gap", fixtures_web.sitemap_gap_sql())
+def web_sitemap_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling off the sitemap protocol (sources/sitemap.py):
+    the shared fixture shards → real reader → ONE left join against the
+    crawl snapshot → uncrawled/stale/fresh per advertised url.
+    File-round-trip harness (toPandas at driver scale, the
+    warc_roundtrip pattern); reader and gap join are collect-free."""
+    import shutil
+    import tempfile
 
-        crawl = docs.mapInPandas(crawl_rows, "url string, sec long").select(
-            "url", F.timestamp_seconds("sec").alias("warc_ts")
-        )
+    from .sources.sitemap import sitemap_crawl_gap
+
+    work = tempfile.mkdtemp(prefix="sitemaps_")
+    try:
+        urls = _sitemap_fixture_urls(spark, sf_dir, work)
+        crawl = _sitemap_fixture_crawl(spark, sf_dir)
         pdf = sitemap_crawl_gap(urls, crawl).toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf[["url", "status"]], "url string, status string")
+
+
+@_register_extra("web_fetch_schedule", fixtures_web.fetch_schedule_sql())
+def web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl scheduler: what does generation k+1 FETCH?
+    sitemap gap (uncrawled + stale advertised urls) × RFC 9309 robots
+    gate for 'anybot' (Airport paths disallowed unless the id ends in
+    0 — ghost urls share the last digit, so the rule bites both) →
+    (url, reason). Three production operators composed declaratively;
+    a wrong status, a wrong LIKE compile, or a wrong precedence all
+    shift the hash."""
+    import shutil
+    import tempfile
+
+    from .operators.robots import robots_gate, robots_rules
+    from .sources.sitemap import sitemap_crawl_gap
+
+    work = tempfile.mkdtemp(prefix="sitemaps_")
+    try:
+        urls = _sitemap_fixture_urls(spark, sf_dir, work)
+        crawl = _sitemap_fixture_crawl(spark, sf_dir)
+        gap = sitemap_crawl_gap(urls, crawl).filter(F.col("status") != "fresh")
+        rules = robots_rules(
+            spark.createDataFrame(
+                [("synth.example", fixtures_web.ROBOTS_TXT)],
+                "host string, robots_txt string",
+            )
+        )
+        gated = robots_gate(gap, rules, "anybot")
+        pdf = (
+            gated.filter(F.col("allowed"))
+            .select("url", F.col("status").alias("reason"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf[["url", "reason"]], "url string, reason string")
+
+
+@_register("kg_multimodal_kg", fixtures_struct.multimodal_kg_sql())
+def kg_multimodal_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone rollup: ONE corpus-level KG attested by all three
+    carriers — prose extraction (htmltext tokenizer + template bank,
+    lang-gated), JSON-LD flattening, and alias-linked microdata — with
+    per-fact modality and document support. Any disagreement between
+    the three extraction paths (a missed fact, a spurious one, a bad
+    link) shifts n_modalities or n_docs and breaks the hash. The
+    production composition parses once per tokenizer
+    (run_pipeline --structdata); this query is the verification
+    capstone, so each modality runs its full honest path."""
+    from . import fixtures_struct as fs
+    from .operators.structdata import (
+        ANNOTATION_PREDS,
+        html_jsonld,
+        microdata_linked_triples,
+    )
+    from .operators.webtext import extract_triples_from_rich_html
+
+    pages = fs.struct_pages_from_documents(spark, sf_dir)
+    prose = extract_triples_from_rich_html(pages).select(
+        "doc_id", "subj", "pred", "obj", F.lit("prose").alias("modality")
+    )
+    jsonld = (
+        html_jsonld(pages)
+        .filter(~F.col("pred").isin(*ANNOTATION_PREDS))
+        .select("doc_id", "subj", "pred", "obj", F.lit("jsonld").alias("modality"))
+    )
+    micro = microdata_linked_triples(pages).select(
+        "doc_id", "subj", "pred", "obj", F.lit("microdata").alias("modality")
+    )
+    return (
+        prose.unionByName(jsonld)
+        .unionByName(micro)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.countDistinct("modality").alias("n_modalities"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

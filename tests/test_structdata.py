@@ -154,3 +154,52 @@ def test_microdata_fact_candidates_pairing(spark):
         for r in microdata_fact_candidates(pages).collect()
     }
     assert rows == {(1, 0, "a surf", "p1", "v1")}
+
+
+def _one_page_df(spark):
+    r = render_struct_page_py(3)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["url"], r["lang"], bytearray(r["html"]))],
+        "doc_id long, url string, lang string, html binary",
+    )
+
+
+def test_structdata_extraction_plans_are_zero_shuffle(spark):
+    """The per-view extractors, the parse-once frame, and the linked
+    triples are all narrow maps: no Exchange anywhere in the plan."""
+    from rdf_to_text_spark.operators.structdata import (
+        html_infobox,
+        html_jsonld,
+        html_microdata,
+        microdata_linked_triples,
+        structdata_facts,
+    )
+
+    pages = _one_page_df(spark)
+    for op in (
+        html_jsonld,
+        html_microdata,
+        html_infobox,
+        structdata_facts,
+        microdata_linked_triples,
+    ):
+        plan = op(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (op.__name__, plan)
+        assert "BatchEvalPython" not in plan, op.__name__  # no row-at-a-time UDF
+
+
+def test_structdata_kg_single_shuffle(spark):
+    from rdf_to_text_spark.operators.structdata import structdata_kg
+
+    plan = (
+        structdata_kg(_one_page_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # countDistinct(doc_id) compiles to the standard two-phase distinct
+    # aggregate: partial agg on (spo, doc_id) -> exchange -> dedup ->
+    # partial agg on (spo) -> exchange -> final. Both exchanges carry
+    # pre-aggregated rows; nothing re-reads or re-parses pages.
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("MapInPandas") == 1, plan  # pages parsed exactly once
