@@ -203,12 +203,16 @@ def main() -> None:
             "web_crawl_frontier",
             "web_sitemap_gap",
             "web_fetch_schedule",
+            "kg_jsonld_stream",
+            "tpch_q14_promo_share",
+            "tpch_q15_top_supplier",
+            "tpch_q19_bracket_revenue",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;
         # the converged PageRank runs ~10 probe rounds (each a job) so
         # a second pass buys little signal for ~30 s of window
-        {"kg_e2e_crawl": 1, "web_pagerank_converged": 1},
+        {"kg_e2e_crawl": 1, "web_pagerank_converged": 1, "kg_jsonld_stream": 1},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force

@@ -103,6 +103,9 @@ def release_caches(evict_session_caches: bool = False) -> None:
         while _STREAM_PAGES_CACHE:
             _, d = _STREAM_PAGES_CACHE.popitem()
             shutil.rmtree(d.rsplit("/pages", 1)[0], ignore_errors=True)
+        while _STRUCT_STREAM_CACHE:
+            _, d = _STRUCT_STREAM_CACHE.popitem()
+            shutil.rmtree(d.rsplit("/pages", 1)[0], ignore_errors=True)
 
 
 def _register(name: str, oracle: str | None = None):
@@ -4284,4 +4287,193 @@ def kg_multimodal_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("modality").alias("n_modalities"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
+    )
+
+
+_STRUCT_STREAM_CACHE: dict[tuple, str] = {}
+
+
+def _struct_stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Struct-pages parquet dir (4 files) for the streaming
+    structured-data query, cached per (session, sf_dir) like
+    _stream_pages_dir; removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark, sf_dir)
+    if key not in _STRUCT_STREAM_CACHE:
+        d = tempfile.mkdtemp(prefix="struct_stream_pages_")
+        fixtures_struct.struct_pages_from_documents(spark, sf_dir).repartition(
+            4
+        ).write.mode("overwrite").parquet(f"{d}/pages")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STRUCT_STREAM_CACHE[key] = f"{d}/pages"
+    return _STRUCT_STREAM_CACHE[key]
+
+
+@_register_extra("kg_jsonld_stream", fixtures_struct.jsonld_sql())
+def kg_jsonld_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data mining through Structured Streaming
+    (streaming/extract_stream.py:stream_structdata) against the SAME
+    oracle as the batch kg_jsonld_triples: struct pages file-streamed
+    at maxFilesPerTrigger=2 over 4 files (≥2 real micro-batches
+    asserted from progress events), JSON-LD flattened by the identical
+    narrow operator, committed through a checkpointed exactly-once
+    parquet sink, read back. Extends the flagship's stream≡batch
+    guarantee to the structured-data family."""
+    import shutil
+    import tempfile
+
+    from .streaming.extract_stream import stream_structdata
+
+    pages_dir = _struct_stream_pages_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="structdata_stream_")
+    try:
+        q = stream_structdata(
+            spark, pages_dir, f"{work}/out", f"{work}/ckpt", max_files_per_trigger=2
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        if n_batches < 2:
+            raise RuntimeError(
+                f"struct stream collapsed to {n_batches} micro-batch(es)"
+            )
+        pdf = spark.read.parquet(f"{work}/out").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf[["doc_id", "item_idx", "subj", "pred", "obj"]],
+        "doc_id long, item_idx long, subj string, pred string, obj string",
+    )
+
+
+@_register_extra(
+    "tpch_q14_promo_share",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             END), 0) AS DOUBLE) AS promo_revenue,
+       CAST(COALESCE(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'""",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month —
+    conditional aggregation over a part⋈lineitem join (part broadcast,
+    date filter pushed to the lineitem scan). Numerator and denominator
+    are emitted as separate DECIMAL-exact sums (cast to double once at
+    the end) instead of the spec's ratio, so no float division sits
+    under the hash."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)), zero
+        ).cast("double").alias("promo_revenue"),
+        F.coalesce(F.sum(rev), zero).cast("double").alias("total_revenue"),
+    )
+
+
+@_register_extra(
+    "tpch_q15_top_supplier",
+    """WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name AS s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM r)""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue VIEW + scalar-max subquery,
+    decorrelated into one revenue aggregate joined against its own
+    broadcast 1-row max (the Q22 idiom) — ties preserved, equality
+    tested on the exact DECIMAL, never on a double."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    r = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = r.agg(F.max("total_rev").alias("mx"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    top = r.join(F.broadcast(mx), r.total_rev == mx.mx).drop("mx")
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("total_rev").cast("double").alias("total_rev"),
+    )
+
+
+@_register_extra(
+    "tpch_q19_bracket_revenue",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11 AND p.p_type = 'SMALL')
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20 AND p.p_type = 'MEDIUM')
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 5 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30 AND p.p_type = 'LARGE')""",
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd bracket predicates mixing join-side
+    columns — the disjunction can't push below the join whole, but each
+    side's single-table conjuncts can (part prefilters to the three
+    brand/size/type brackets, broadcast; lineitem keeps its quantity
+    range union). DECIMAL-exact revenue, COALESCE(0) so an empty
+    bracket set hashes identically."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+        & (F.col("p_type") == "SMALL")
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("p_type") == "MEDIUM")
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(5, 15)
+        & F.col("l_quantity").between(20, 30)
+        & (F.col("p_type") == "LARGE")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(b1 | b2 | b3)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum(rev), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
     )

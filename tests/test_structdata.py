@@ -203,3 +203,26 @@ def test_structdata_kg_single_shuffle(spark):
     # pre-aggregated rows; nothing re-reads or re-parses pages.
     assert plan.count("Exchange") == 2, plan
     assert plan.count("MapInPandas") == 1, plan  # pages parsed exactly once
+
+
+def test_marker_fast_path_skips_and_never_drops():
+    import time
+
+    # marker-less page: empty views, and ~free even at megabyte size
+    big = "<html><body>" + "<p>plain prose</p>" * 50_000 + "</body></html>"
+    t0 = time.time()
+    out = parse_structdata_py(big)
+    fast = time.time() - t0
+    assert out == {"jsonld": [], "microdata": [], "infobox": []}
+    assert fast < 0.05, fast  # substring scan, not a tokenizer pass
+
+    # each marker alone re-enables the full parse
+    assert parse_structdata_py(
+        '<div itemscope itemid="X"><meta itemprop="k" content="v"></div>'
+    )["microdata"]
+    assert parse_structdata_py(
+        '<script type="application/ld+json">{"@id":"A","p":"v"}</script>'
+    )["jsonld"]
+    assert parse_structdata_py(
+        '<table class="infobox"><tr><th>K</th><td>V</td></tr></table>'
+    )["infobox"]
