@@ -207,6 +207,7 @@ def main() -> None:
             "tpch_q14_promo_share",
             "tpch_q15_top_supplier",
             "tpch_q19_bracket_revenue",
+            "web_hits",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

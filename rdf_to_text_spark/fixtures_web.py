@@ -689,3 +689,40 @@ SELECT url, reason FROM (
   FROM dcat WHERE doc_id % 9 = 0
 )
 WHERE scat <> 'Airport' OR doc_id % 10 = 0"""
+
+
+def web_hits_sql(iters: int = 2) -> str:
+    """Oracle: (doc_id, hub, auth) — the unnormalized integer HITS
+    recurrence replayed as chained CTE rounds over the arithmetic edge
+    set (self-loops excluded, as in the PageRank oracle)."""
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT d.doc_id, CAST(COALESCE(s.recv, 0) AS BIGINT) AS auth
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(h.hub) AS recv
+    FROM edges e JOIN {prev_h} h ON h.doc_id = e.src GROUP BY e.dst
+  ) s ON s.doc_id = d.doc_id
+),
+h{i} AS (
+  SELECT d.doc_id, CAST(COALESCE(s.recv, 0) AS BIGINT) AS hub
+  FROM documents d LEFT JOIN (
+    SELECT e.src AS doc_id, SUM(a.auth) AS recv
+    FROM edges e JOIN a{i} a ON a.doc_id = e.dst GROUP BY e.src
+  ) s ON s.doc_id = d.doc_id
+)"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return f"""WITH {_web_cte()},
+edges AS (
+  SELECT r.doc_id AS src, r.j AS dst
+  FROM rel r JOIN documents d2 ON d2.doc_id = r.j
+  WHERE r.doc_id <> r.j
+),
+h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS hub FROM documents),
+{",".join(rounds)}
+SELECT h.doc_id, h.hub, a.auth
+FROM {prev_h} h JOIN {prev_a} a ON a.doc_id = h.doc_id"""

@@ -619,3 +619,51 @@ def crawl_frontier(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def hits_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Deterministic INTEGER HITS: (doc_id, hub, auth) after ``iters``
+    rounds of the unnormalized update (h₀ = 1; aᵢ(v) = Σ_{u→v} hᵢ₋₁(u);
+    hᵢ(u) = Σ_{u→v} aᵢ(v)).
+
+    Kleinberg's normalization divides by the L2 norm each round — a
+    float no cross-engine hash can pin — so, like pagerank_int, the
+    engine runs the exact integer recurrence and leaves scaling to the
+    caller (rankings are norm-invariant). Values grow ≤ (max_deg)²ⁱ·n,
+    far inside BIGINT for real out-degree caps at small iters; callers
+    needing many rounds rescale between rounds (documented envelope).
+
+    Scale shape: per round two edge⋈score hash joins + two
+    combiner-friendly groupBys on doc_id — the same iterative-join
+    skeleton as pagerank_int, edges persisted once (`cleanup` house
+    contract).
+    """
+    ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    edges = edges.persist()
+    if cleanup is not None:
+        cleanup.append(edges)
+    hub = ids.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(iters):
+        a_recv = (
+            edges.join(hub.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("recv"))
+        )
+        auth = ids.join(a_recv, "doc_id", "left").select(
+            "doc_id", F.coalesce("recv", F.lit(0)).cast("long").alias("auth")
+        )
+        h_recv = (
+            edges.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("auth").alias("recv"))
+        )
+        hub = ids.join(h_recv, "doc_id", "left").select(
+            "doc_id", F.coalesce("recv", F.lit(0)).cast("long").alias("hub")
+        )
+    return hub.join(auth, "doc_id")

@@ -4477,3 +4477,19 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@_register_extra("web_hits", fixtures_web.web_hits_sql(iters=2))
+def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS over the in-corpus link graph
+    (operators/webtext.py:hits_int): 2 rounds of the exact unnormalized
+    hub/authority recurrence (normalization is a float no hash can pin;
+    rankings are norm-invariant), self-loops excluded like web_pagerank.
+    Oracle replays the recurrence as chained CTEs."""
+    from .operators.webtext import hits_int, link_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
+    edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
+    out = hits_int(edges, docs, iters=2, cleanup=_CLEANUPS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "hub", "auth")
