@@ -298,12 +298,36 @@ def flatten_jsonld(blocks: list[str]) -> list[tuple[int, str, str, str]]:
     order across all blocks; a node's subject is its ``@id`` when that
     is a string, else ``_:j{idx}``. ``@context`` is dropped, ``@graph``
     unwrapped, list values emit one triple per element, nested objects
-    emit a reference triple then recurse. Scalars stringify (bools
-    lowercase, the JSON spelling). A block that fails ``json.loads``
-    contributes nothing — hostile crawl HTML must degrade, not raise.
+    emit a reference triple then recurse. Two JSON-LD expansion forms
+    are folded to scalars rather than minted as nodes (the spec's value
+    semantics, and what real schema.org payloads use): a *value object*
+    ``{"@value": x, ...}`` contributes ``x``; a *list object*
+    ``{"@list": [...]}`` contributes its elements in order. Scalars
+    stringify (bools lowercase, the JSON spelling). A block that fails
+    ``json.loads`` contributes nothing — hostile crawl HTML must
+    degrade, not raise.
     """
     rows: list[tuple[int, str, str, str]] = []
     counter = 0
+
+    def emit(idx: int, subj: str, k: str, el) -> None:
+        if isinstance(el, dict):
+            if "@value" in el:  # value object: fold, don't mint a node
+                v = el["@value"]
+                if v is not None and not isinstance(v, (dict, list)):
+                    rows.append((idx, subj, k, _scalar(v)))
+                return
+            if "@list" in el:  # list object: ordered elements, in place
+                inner = el["@list"]
+                for sub in inner if isinstance(inner, list) else [inner]:
+                    emit(idx, subj, k, sub)
+                return
+            pos = len(rows)
+            rows.append((idx, subj, k, ""))  # placeholder
+            child = walk(el)
+            rows[pos] = (idx, subj, k, child)
+        elif el is not None and not isinstance(el, list):
+            rows.append((idx, subj, k, _scalar(el)))
 
     def walk(obj: dict) -> str:
         nonlocal counter
@@ -320,13 +344,7 @@ def flatten_jsonld(blocks: list[str]) -> list[tuple[int, str, str, str]]:
                         walk(el)
                 continue
             for el in v if isinstance(v, list) else [v]:
-                if isinstance(el, dict):
-                    pos = len(rows)
-                    rows.append((idx, subj, k, ""))  # placeholder
-                    child = walk(el)
-                    rows[pos] = (idx, subj, k, child)
-                elif el is not None and not isinstance(el, list):
-                    rows.append((idx, subj, k, _scalar(el)))
+                emit(idx, subj, k, el)
         return subj
 
     for raw in blocks:

@@ -226,3 +226,21 @@ def test_marker_fast_path_skips_and_never_drops():
     assert parse_structdata_py(
         '<table class="infobox"><tr><th>K</th><td>V</td></tr></table>'
     )["infobox"]
+
+
+def test_jsonld_value_and_list_objects_fold_to_scalars():
+    rows = flatten_jsonld(
+        [
+            '{"@id": "X", '
+            '"name": {"@value": "Aarhus", "@language": "da"}, '
+            '"seq": {"@list": ["a", {"@value": 2}, null]}, '
+            '"child": {"p": "v"}}'
+        ]
+    )
+    assert rows == [
+        (0, "X", "name", "Aarhus"),
+        (0, "X", "seq", "a"),
+        (0, "X", "seq", "2"),
+        (0, "X", "child", "_:j1"),
+        (1, "_:j1", "p", "v"),
+    ]
