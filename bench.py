@@ -208,6 +208,8 @@ def main() -> None:
             "tpch_q15_top_supplier",
             "tpch_q19_bracket_revenue",
             "web_hits",
+            "kg_entity_cooccurrence",
+            "text_keywords_topk",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

@@ -4493,3 +4493,84 @@ def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
     out = hits_int(edges, docs, iters=2, cleanup=_CLEANUPS)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "hub", "auth")
+
+
+@_register_extra(
+    "kg_entity_cooccurrence",
+    f"""WITH {fixtures.gold_cte()},
+ds AS (SELECT DISTINCT doc_id, subj FROM gold)
+SELECT a.subj AS e1, b.subj AS e2, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.subj < b.subj
+GROUP BY a.subj, b.subj""",
+)
+def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-relatedness signal: distinct subject pairs co-occurring on
+    a page, with page counts — the co-mention statistic entity-linking
+    rerankers and KG-completion priors are trained on. Plan: distinct
+    (doc, subj) off the REAL extraction, one self-join keyed on doc_id
+    (page-local, so the join never grows beyond per-page entity counts
+    squared), one combiner groupBy on the pair."""
+    t = _triples(spark, sf_dir)
+    ds = t.select("doc_id", "subj").distinct()
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.subj") < F.col("b.subj")),
+    )
+    return pairs.groupBy(
+        F.col("a.subj").alias("e1"), F.col("b.subj").alias("e2")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register_extra(
+    "text_keywords_topk",
+    """WITH toks AS (
+  SELECT d.doc_id, t.term
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS t(term)
+  WHERE trim(d.text) <> '' AND t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN df ON df.term = tf.term
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+       term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rnk <= 3""",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction, tf-idf ORDERING without the
+    float: rank terms by (tf desc, df asc, term asc) — identical order
+    to tf·idf wherever tf differs, rarity-preferring on tf ties, and
+    integer-exact so it can sit under a cross-engine hash (ln(N/df)
+    cannot). Plan: explode inside the engine (no UDF), two combiner
+    groupBys, one term-keyed join, one per-doc window — at corpus scale
+    the df table is the only global aggregate and it's term-keyed
+    (bounded by vocabulary, not corpus)."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(_text_toks()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tf.join(df, "term").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
