@@ -44,9 +44,15 @@ def main() -> int:
     ap.add_argument(
         "--assume-lang",
         default="en",
-        help="lang column for --warc input (WARC records carry no lang; "
-        "plug text_analysis.lang_id on the extracted text to detect "
-        "instead of assuming)",
+        help="lang column for --warc input (WARC records carry no lang)",
+    )
+    ap.add_argument(
+        "--detect-lang",
+        action="store_true",
+        help="with --warc: derive lang per page from the extracted text "
+        "(text_analysis.lang_id_col stopword heuristic) instead of "
+        "assuming --assume-lang — non-English captures are gated out "
+        "before any extraction work",
     )
     ap.add_argument(
         "--structdata",
@@ -106,8 +112,20 @@ def main() -> int:
             latest_snapshot(read_warc(spark, args.warc))
             .drop("n_versions")
             .withColumn("doc_id", F.xxhash64("url"))
-            .withColumn("lang", F.lit(args.assume_lang))
         )
+        if args.detect_lang:
+            from rdf_to_text_spark.functions.htmltext import extract_rich_udf
+            from rdf_to_text_spark.operators.text_analysis import lang_id_col
+
+            # one inline expression over the extracted text — no join,
+            # no second frame; the gate then pushes ahead of extraction
+            pages = (
+                pages.withColumn("_lid_text", extract_rich_udf("html"))
+                .withColumn("lang", lang_id_col("_lid_text"))
+                .drop("_lid_text")
+            )
+        else:
+            pages = pages.withColumn("lang", F.lit(args.assume_lang))
         args.rich_html = True  # WARC payloads are always real html
     elif args.pages:
         pages = spark.read.parquet(args.pages)

@@ -87,6 +87,26 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def en_ratio_col(text_col: str = "text") -> F.Column:
+    """Stopword fraction of a text column (the lang-ID score), as a
+    reusable engine-side expression — no UDF, no extra frame."""
+    lower = F.lower(F.col(text_col))
+    toks = F.split(F.trim(lower), r"\s+")
+    sw_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    return F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))) / F.size(toks), 4
+    )
+
+
+def lang_id_col(text_col: str = "text") -> F.Column:
+    """pred_lang expression: 'en' when ≥5% of tokens are English
+    function words — the same rule lang_id tabulates, exposed as a
+    column so ingest paths (run_pipeline --detect-lang) can gate
+    inline without a join."""
+    r = en_ratio_col(text_col)
+    return F.when(r >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, en_ratio, pred_lang) — stopword-fraction heuristic.
 
@@ -95,16 +115,10 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     pandas UDF; the plumbing — per-doc score + threshold — is what the
     engine owns.)
     """
-    lower = F.lower(F.col(text_col))
-    toks = F.split(F.trim(lower), r"\s+")
-    sw_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
-    en_ratio = F.round(
-        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))) / F.size(toks), 4
-    )
     return docs.select(
         F.col(id_col),
-        en_ratio.alias("en_ratio"),
-        F.when(en_ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        en_ratio_col(text_col).alias("en_ratio"),
+        lang_id_col(text_col).alias("pred_lang"),
     )
 
 

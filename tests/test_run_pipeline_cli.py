@@ -129,3 +129,47 @@ def test_run_pipeline_structdata_union(spark):
         assert struct - prose  # xx pages: structured-only facts exist
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_run_pipeline_warc_detect_lang(spark):
+    """--detect-lang: a gibberish (zero-stopword) capture is gated out
+    before extraction; the English page's triples all survive."""
+    from rdf_to_text_spark.fixtures import render_page_py
+    from rdf_to_text_spark.fixtures_web import render_rich_page_py
+    from rdf_to_text_spark.sources.warc import write_warc_py
+
+    d = 1  # en page with gold triples
+    page = render_rich_page_py(d)
+    gibberish = (
+        b"<html><body><p>zzz qqq vvv kkk mmm nnn ppp rrr sss ttt</p></body></html>"
+    )
+    out_dir = tempfile.mkdtemp(prefix="kgcli_lid_out_")
+    warc_dir = tempfile.mkdtemp(prefix="kgcli_lid_in_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        recs = [
+            (page["url"], "2024-01-01T00:00:01Z", page["html"]),
+            ("https://synth.example/x/99999999", "2024-01-01T00:00:02Z", gibberish),
+        ]
+        with open(os.path.join(warc_dir, "p0.warc.gz"), "wb") as f:
+            f.write(write_warc_py(recs))
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--warc", warc_dir, "--detect-lang",
+                "--output", out_dir, "--chunks", "1", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["n_triples_written"] == len(render_page_py(d)["gold"])
+        subs = {
+            r.subj
+            for r in spark.read.parquet(f"{out_dir}/edges").select("subj").collect()
+        }
+        assert subs  # from the English page only; gibberish contributed none
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(warc_dir, ignore_errors=True)
