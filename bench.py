@@ -210,6 +210,8 @@ def main() -> None:
             "web_hits",
             "kg_entity_cooccurrence",
             "text_keywords_topk",
+            "sample_stratified_md5",
+            "pack_training_shards",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

@@ -4574,3 +4574,84 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long").alias("tf"),
         F.col("df").cast("long").alias("df"),
     )
+
+
+@_register_extra(
+    "sample_stratified_md5",
+    """WITH q AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) >= 200 THEN 'long' ELSE 'short' END AS bucket,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS slot
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket, CAST(slot AS BIGINT) AS slot
+FROM q
+WHERE (bucket = 'long' AND slot < 50) OR (bucket = 'short' AND slot < 10)""",
+)
+def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling — the training-data op every
+    corpus refresh needs to be DETERMINISTIC (re-runs and audits must
+    pick the same documents): per-doc slot = first 8 hex digits of
+    md5(doc_id) mod 100 (the repo's portable-hash idiom), quota 50% for
+    long documents, 10% for short. Pure engine expressions, zero
+    shuffle, trivially partition-parallel; Bernoulli-per-row means no
+    coordination at any corpus size (unlike exact-k sampling)."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.when(F.length(F.trim("text")) >= 200, F.lit("long")).otherwise(
+        F.lit("short")
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    q = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.alias("bucket"),
+        slot.alias("slot"),
+    )
+    return q.filter(
+        ((F.col("bucket") == "long") & (F.col("slot") < 50))
+        | ((F.col("bucket") == "short") & (F.col("slot") < 10))
+    )
+
+
+@_register_extra(
+    "pack_training_shards",
+    """WITH toks AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+       CAST((cum - n_tok) // 1000 AS BIGINT) AS shard
+FROM c""",
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents (in stable doc_id
+    order) to training shards of ~1000 tokens — shard = floor(prefix
+    token count / budget), the window-cumsum formulation of sequential
+    first-fit that a distributed engine CAN express exactly.
+
+    Scale note: a single unpartitioned ORDER BY window serializes; the
+    production form runs the same expression per coarse range bucket
+    (functions/ranking.py's two-pass global offsets — already driver-
+    checked via kg_vocab_topk) and adds the per-bucket base offsets.
+    This query pins the packing arithmetic itself against the oracle."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    n_tok = F.size(_text_toks()).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "n_tok",
+        ((F.col("cum") - F.col("n_tok")) / 1000).cast("long").alias("shard"),
+    )
