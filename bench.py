@@ -212,6 +212,7 @@ def main() -> None:
             "text_keywords_topk",
             "sample_stratified_md5",
             "pack_training_shards",
+            "kg_schema_stats",
         ),
         # the composed crawl runs WARC write + snapshot + dedup + the
         # resumable sink harness end-to-end — once is the honest number;

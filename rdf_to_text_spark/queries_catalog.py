@@ -4655,3 +4655,30 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         ((F.col("cum") - F.col("n_tok")) / 1000).cast("long").alias("shard"),
     )
+
+
+@_register_extra(
+    "kg_schema_stats",
+    f"""WITH {fixtures.gold_cte()}
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects,
+       MIN(obj) AS sample_obj
+FROM gold GROUP BY pred""",
+)
+def kg_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction over the constructed KG: per-predicate fact,
+    subject and object cardinalities (the domain/range profile a KG
+    curator reads before writing constraints) plus a deterministic
+    sample object. One groupBy on pred over the REAL extraction —
+    predicates are a vocabulary-sized key, so the aggregate is tiny at
+    any corpus scale; the two distinct counts ride the same two-phase
+    distinct-aggregate shape as structdata_kg."""
+    t = _triples(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+        F.min("obj").alias("sample_obj"),
+    )
