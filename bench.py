@@ -220,6 +220,15 @@ def main() -> None:
         # a second pass buys little signal for ~30 s of window
         {"kg_e2e_crawl": 1, "web_pagerank_converged": 1, "kg_jsonld_stream": 1},
     )
+    extras["r6_queries_sec"] = timed(
+        (
+            "kg_link_prior",
+            "pack_training_shards_bucketed",
+            "kg_schema_classes",
+            "eval_meteor_default_syn",
+        ),
+        {},
+    )
 
     # ANN quality: recall of the LSH path vs exact brute force
     try:

@@ -364,3 +364,191 @@ FROM (SELECT * FROM old_facts EXCEPT SELECT * FROM new_facts)
 UNION ALL
 SELECT doc_id, subj, pred, obj, 'added' AS change
 FROM (SELECT * FROM new_facts EXCEPT SELECT * FROM old_facts)"""
+
+
+# ------------------------------------------------- co-occurrence / linking
+def _capped_incidence_cte(cap: int) -> str:
+    """Shared CTE chain (requires ``gold`` + ``ents`` in scope): in-page
+    entity incidence (subjects always; objects when entity-like) →
+    per-doc support → per-doc cap by (support desc, entity asc) →
+    ``inc(doc_id, entity)``. Replays operators/linking.py:
+    capped_entity_pairs ranking arithmetic exactly."""
+    return f"""incall AS (
+  SELECT doc_id, subj AS entity FROM gold
+  UNION ALL
+  SELECT g.doc_id, g.obj AS entity FROM gold g JOIN ents e ON e.entity = g.obj
+),
+incsup AS (SELECT doc_id, entity, COUNT(*) AS sup FROM incall GROUP BY 1, 2),
+inc AS (
+  SELECT doc_id, entity FROM (
+    SELECT doc_id, entity,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sup DESC, entity ASC) AS rnk
+    FROM incsup)
+  WHERE rnk <= {cap}
+)"""
+
+
+def cooccurrence_capped_sql(cap: int = 4) -> str:
+    """Oracle for kg_entity_cooccurrence: capped in-page entity pairs."""
+    from .templates import entity_like_names
+
+    ents = [(e,) for e in entity_like_names()]
+    return f"""WITH {gold_cte()},
+ents(entity) AS (VALUES
+    {_values(ents)}
+),
+{_capped_incidence_cte(cap)}
+SELECT a.entity AS e1, b.entity AS e2, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.entity < b.entity
+GROUP BY 1, 2"""
+
+
+def link_prior_sql(cap: int = 4) -> str:
+    """Oracle for kg_link_prior: replay the prior-reranked linking
+    arithmetic — first-token alias candidates (VALUES, from the same
+    templates constants the Spark build side broadcasts), capped
+    co-occurrence prior, score = pair count with the page anchor,
+    winner by (score desc, entity asc)."""
+    from .templates import entity_like_names, first_token_candidates
+
+    ents = [(e,) for e in entity_like_names()]
+    cands = first_token_candidates()
+    return f"""WITH {gold_cte()},
+ents(entity) AS (VALUES
+    {_values(ents)}
+),
+cand(mention, entity) AS (VALUES
+    {_values(cands)}
+),
+{_capped_incidence_cte(cap)},
+prior AS (
+  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_docs
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+),
+ment AS (
+  SELECT doc_id, sent_idx, subj AS anchor,
+         lower(list_extract(regexp_split_to_array(obj_surface, ' '), 1)) AS mention
+  FROM gold
+),
+scored AS (
+  SELECT m.doc_id, m.sent_idx, m.mention, c.entity,
+         COALESCE(p.n_docs, 0) AS score,
+         row_number() OVER (PARTITION BY m.doc_id, m.sent_idx, m.mention
+                            ORDER BY COALESCE(p.n_docs, 0) DESC, c.entity ASC) AS rn
+  FROM ment m
+  JOIN cand c ON c.mention = m.mention
+  LEFT JOIN prior p ON p.e1 = least(c.entity, m.anchor)
+                   AND p.e2 = greatest(c.entity, m.anchor)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       mention, entity, CAST(score AS BIGINT) AS score
+FROM scored WHERE rn = 1"""
+
+
+def schema_classes_sql() -> str:
+    """Oracle for kg_schema_classes: per-predicate cardinality class
+    (1:1 / 1:N / N:1 / N:N from max out/in distinct-degree) + domain/
+    range type guesses (entity vs literal via the KB node set)."""
+    from .templates import entity_like_names
+
+    ents = [(e,) for e in entity_like_names()]
+    return f"""WITH {gold_cte()},
+ents(entity) AS (VALUES
+    {_values(ents)}
+),
+po AS (SELECT pred, subj, COUNT(DISTINCT obj) AS n_obj FROM gold GROUP BY 1, 2),
+ps AS (SELECT pred, obj, COUNT(DISTINCT subj) AS n_subj FROM gold GROUP BY 1, 2),
+deg AS (
+  SELECT po.pred, MAX(po.n_obj) AS max_out, MAX(ps.n_subj) AS max_in
+  FROM po JOIN ps ON ps.pred = po.pred
+  GROUP BY po.pred
+),
+typ AS (
+  SELECT g.pred,
+         CASE WHEN COUNT(*) = COUNT(es.entity) THEN 'entity'
+              WHEN COUNT(es.entity) = 0 THEN 'literal'
+              ELSE 'mixed' END AS domain_type,
+         CASE WHEN COUNT(*) = COUNT(eo.entity) THEN 'entity'
+              WHEN COUNT(eo.entity) = 0 THEN 'literal'
+              ELSE 'mixed' END AS range_type
+  FROM gold g
+  LEFT JOIN ents es ON es.entity = g.subj
+  LEFT JOIN ents eo ON eo.entity = g.obj
+  GROUP BY g.pred
+)
+SELECT d.pred,
+       CAST(d.max_out AS BIGINT) AS max_out,
+       CAST(d.max_in AS BIGINT) AS max_in,
+       CASE WHEN d.max_out = 1 AND d.max_in = 1 THEN '1:1'
+            WHEN d.max_out > 1 AND d.max_in = 1 THEN '1:N'
+            WHEN d.max_out = 1 AND d.max_in > 1 THEN 'N:1'
+            ELSE 'N:N' END AS card_class,
+       t.domain_type, t.range_type
+FROM deg d JOIN typ t ON t.pred = d.pred"""
+
+
+def meteor_default_syn_sql() -> str:
+    """Oracle for eval_meteor_default_syn: hyp = corpus text, ref = the
+    same tokens with every DEFAULT_SYNONYM_CLASSES member swapped to the
+    next member of its class (cyclic) — so those positions can only
+    match through the synonym stage. Replay: m = Σ_class min(count_h,
+    count_r) over class-mapped tokens (stage identity: exact-first then
+    class-residual pairing sums to the class-level min, since
+    min(x−e, y−e) = min(x,y) − e); m_syn = m − Σ_word min(count_h,
+    count_r). Chunks are pinned by the staged suffix twin
+    (eval_meteor_synonyms), not re-replayed here."""
+    from .operators.evalmetrics import DEFAULT_SYNONYM_CLASSES
+
+    syn_rows = [
+        (w, cls[0]) for cls in DEFAULT_SYNONYM_CLASSES for w in cls
+    ]
+    swap_rows = [
+        (w, cls[(i + 1) % len(cls)])
+        for cls in DEFAULT_SYNONYM_CLASSES
+        for i, w in enumerate(cls)
+    ]
+    return rf"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+syn(word, cls) AS (VALUES
+    {_values(syn_rows)}
+),
+swap(word, alt) AS (VALUES
+    {_values(swap_rows)}
+),
+ht AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+rt AS (
+  SELECT x.doc_id, coalesce(sw.alt, x.t) AS t
+  FROM ht x LEFT JOIN swap sw ON sw.word = x.t
+),
+hw AS (SELECT doc_id, t, COUNT(*) AS n FROM ht GROUP BY 1, 2),
+rw AS (SELECT doc_id, t, COUNT(*) AS n FROM rt GROUP BY 1, 2),
+me AS (
+  SELECT h.doc_id, SUM(LEAST(h.n, r.n)) AS me
+  FROM hw h JOIN rw r ON r.doc_id = h.doc_id AND r.t = h.t
+  GROUP BY 1
+),
+hc AS (
+  SELECT x.doc_id, coalesce(sy.cls, x.t) AS c, COUNT(*) AS n
+  FROM ht x LEFT JOIN syn sy ON sy.word = x.t GROUP BY 1, 2
+),
+rc AS (
+  SELECT x.doc_id, coalesce(sy.cls, x.t) AS c, COUNT(*) AS n
+  FROM rt x LEFT JOIN syn sy ON sy.word = x.t GROUP BY 1, 2
+),
+mm AS (
+  SELECT h.doc_id, SUM(LEAST(h.n, r.n)) AS m
+  FROM hc h JOIN rc r ON r.doc_id = h.doc_id AND r.c = h.c
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(coalesce(mm.m, 0) AS INT) AS m,
+       CAST(coalesce(mm.m, 0) - coalesce(me.me, 0) AS INT) AS m_syn,
+       CAST(len(d.toks) AS INT) AS hyp_len,
+       CAST(len(d.toks) AS INT) AS ref_len
+FROM docs d
+LEFT JOIN mm ON mm.doc_id = d.doc_id
+LEFT JOIN me ON me.doc_id = d.doc_id"""

@@ -104,3 +104,73 @@ def global_row_numbers(
         .drop("_pid", "_local")
     )
     return _finish(out)
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    small_threshold: int = 100_000,
+    cleanup: list | None = None,
+    pin_result: bool = False,
+) -> DataFrame:
+    """df + `out_col` = INCLUSIVE global prefix sum of `value_col` under
+    `order_cols` (must be a total order) — the cumsum sibling of
+    global_row_numbers, same two-pass architecture:
+
+      1. `repartitionByRange` on the order (contiguous sorted buckets);
+      2. local running sum per bucket (window partitioned by bucket);
+      3. driver-side cumulative BUCKET TOTALS (one tiny collect of
+         n_buckets sums) added back via a literal map.
+
+    This is how sequential arithmetic (token-budget shard packing,
+    byte-offset assignment, exact quantile splits) scales: the only
+    global object is the n_buckets-row offset table. The persist /
+    cleanup / re-execution contract is identical to global_row_numbers
+    (see its docstring) — boundaries are sampled per execution, so the
+    ranged frame is pinned and the result must be materialized once
+    unless `pin_result=True`.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if cleanup is not None:
+        cleanup.append(ranged)
+    stats = ranged.groupBy("_pid").agg(
+        F.count("*").alias("n"), F.sum(value_col).alias("s")
+    ).collect()
+    sizes = {r._pid: r.n for r in stats}
+
+    def _finish(res: DataFrame) -> DataFrame:
+        return res.localCheckpoint(eager=False) if pin_result else res
+
+    if sum(sizes.values()) <= small_threshold:
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return _finish(
+            ranged.drop("_pid").withColumn(
+                out_col, F.sum(value_col).over(w).cast("long")
+            )
+        )
+    offsets, acc = {}, 0
+    for r in sorted(stats, key=lambda r: r._pid):
+        offsets[r._pid] = acc
+        acc += r.s or 0
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ranged.withColumn("_local", F.sum(value_col).over(w))
+        .withColumn(out_col, (omap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_local")
+    )
+    return _finish(out)

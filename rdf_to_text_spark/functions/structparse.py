@@ -237,10 +237,26 @@ class _StructParser(HTMLParser):
             self._tables.append([open_depth, idx, 0, None])
         elif tag == "tr" and not void:
             if self._tables and self._tables[-1][1] is not None:
+                # HTML permits omitting </tr> (implied close by the next
+                # <tr>): flush any pending row before opening the next.
+                self._flush_row(self._tables[-1])
                 self._tables[-1][3] = []  # open a cell list for this row
         elif tag in ("th", "td") and not void:
             if self._tables and self._tables[-1][1] is not None and self._tables[-1][3] is not None:
                 self._frames.append([open_depth, "cell", (self._tables[-1][3], tag), []])
+
+    def _flush_row(self, t: list) -> None:
+        """Finalize a pending infobox row (explicit </tr>, implied close
+        by the next <tr>, or the owning table closing)."""
+        cells = t[3]
+        if cells is None:
+            return
+        ths = [txt for kind, txt in cells if kind == "th"]
+        tds = [txt for kind, txt in cells if kind == "td"]
+        if ths and tds:
+            self.tb_rows.append([t[1], t[2], " ".join(ths), " ".join(tds)])
+            t[2] += 1
+        t[3] = None
 
     # ------------------------------------------------------- closing
     def _close_at_depth(self, depth: int, ending_tag: str) -> None:
@@ -259,17 +275,13 @@ class _StructParser(HTMLParser):
             self._items.pop()
         # finalize infobox rows / tables
         if ending_tag == "tr" and self._tables and self._tables[-1][1] is not None:
-            t = self._tables[-1]
-            cells = t[3]
-            if cells is not None:
-                ths = [txt for kind, txt in cells if kind == "th"]
-                tds = [txt for kind, txt in cells if kind == "td"]
-                if ths and tds:
-                    self.tb_rows.append([t[1], t[2], " ".join(ths), " ".join(tds)])
-                    t[2] += 1
-                t[3] = None
+            self._flush_row(self._tables[-1])
         while self._tables and self._tables[-1][0] > depth:
-            self._tables.pop()
+            t = self._tables.pop()
+            if t[1] is not None:
+                # table closing with an open row (</tr> omitted): the
+                # implied close finalizes the row, not discards it.
+                self._flush_row(t)
 
     # ------------------------------------------------------ finalize
     def finalize(self) -> None:
@@ -360,7 +372,11 @@ def flatten_jsonld(blocks: list[str]) -> list[tuple[int, str, str, str]]:
 
 
 # ------------------------------------------------------------ façade
-_EMPTY_VIEWS = {"jsonld": [], "microdata": [], "infobox": []}
+def _empty_views() -> dict:
+    # Fresh lists every time: callers may mutate a returned view, and a
+    # shared module-level constant would leak rows across pages
+    # process-wide inside long-lived executor workers.
+    return {"jsonld": [], "microdata": [], "infobox": []}
 
 
 def parse_structdata_py(html: bytes | str | None) -> dict:
@@ -373,21 +389,26 @@ def parse_structdata_py(html: bytes | str | None) -> dict:
     Marker fast-path: most real crawl pages carry NO structured data;
     a substring scan for the three carriers' unavoidable markers
     (``itemscope``, ``ld+json``, ``<table``) is ~100× cheaper than the
-    tokenizer, so marker-less pages skip it entirely. The markers are
+    tokenizer, so marker-less pages skip it entirely. HTML tag and
+    attribute names are case-insensitive (the tokenizer lowercases
+    them), so the scan runs over a lowercased copy — otherwise
+    uppercase crawl markup (``<TABLE CLASS="infobox">``, ``ITEMSCOPE``)
+    would be silently dropped. On the lowered text the markers are
     necessary conditions by construction (attribute name / script type
     / element name), so the fast path can never drop a view — at worst
     a marker in inert text costs one full parse.
     """
     if html is None:
-        return dict(_EMPTY_VIEWS)
+        return _empty_views()
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
+    lowered = html.lower()
     if (
-        "itemscope" not in html
-        and "ld+json" not in html
-        and "<table" not in html
+        "itemscope" not in lowered
+        and "ld+json" not in lowered
+        and "<table" not in lowered
     ):
-        return dict(_EMPTY_VIEWS)
+        return _empty_views()
     parser = _StructParser()
     try:
         parser.feed(html)

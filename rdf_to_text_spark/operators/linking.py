@@ -125,3 +125,83 @@ def top1_per_mention(scored: DataFrame, keys: list[str] | None = None) -> DataFr
     keys = keys or ["doc_id", "mention"]
     w = Window.partitionBy(*keys).orderBy(F.desc("score"), "entity")
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def capped_entity_pairs(incidence: DataFrame, cap: int = 4) -> DataFrame:
+    """Entity co-occurrence pairs with a per-document fan-out cap.
+
+    ``incidence`` is (doc_id, entity) with one row per in-page mention
+    (multiplicity = in-page support). Before the page-local self-join,
+    each document keeps only its ``cap`` best-supported entities
+    (support desc, entity asc — deterministic, W2): an adversarial page
+    mentioning 10^4 entities would otherwise contribute 10^8 pairs to
+    the shuffle, the classic quadratic blowup a 100 TB crawl cannot
+    absorb. Output: (e1, e2, n_docs) with e1 < e2.
+
+    Plan: one combiner groupBy for support, one per-doc window over at
+    most the page's distinct entities, a page-keyed self-join bounded
+    by cap², one combiner groupBy on the pair.
+    """
+    sup = incidence.groupBy("doc_id", "entity").agg(F.count(F.lit(1)).alias("sup"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sup"), "entity")
+    kept = (
+        sup.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= cap)
+        .select("doc_id", "entity")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.entity") < F.col("b.entity")),
+    )
+    return pairs.groupBy(
+        F.col("a.entity").alias("e1"), F.col("b.entity").alias("e2")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def link_with_prior(
+    mentions: DataFrame, candidates: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """Resolve ambiguous mentions with a co-occurrence prior.
+
+    ``mentions``  : (doc_id, sent_idx, mention, anchor) — anchor is an
+                    entity already resolved on the page (the subject).
+    ``candidates``: (mention, entity) — the dictionary-sized alias
+                    table; broadcast.
+    ``prior``     : (e1, e2, n_docs) with e1 < e2 — corpus-wide
+                    co-occurrence counts (capped_entity_pairs output).
+
+    Score(candidate) = n_docs(candidate, anchor), 0 when the pair never
+    co-occurs; winner per (doc_id, sent_idx, mention) by (score desc,
+    entity asc) — the W5 top-1 idiom with W2-deterministic ties, so a
+    context-free decoy ('Aarhus' the city for an 'aarhus' mention on an
+    airport page) loses exactly when the prior says so, integer-exact.
+
+    Plan: broadcast probe for candidates (no shuffle), one hash join
+    keyed on the unordered pair, one per-mention window.
+    """
+    scored = (
+        mentions.join(F.broadcast(candidates), "mention")
+        .join(
+            prior,
+            (F.least("entity", "anchor") == prior["e1"])
+            & (F.greatest("entity", "anchor") == prior["e2"]),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            "mention",
+            "entity",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "sent_idx", "mention").orderBy(
+        F.desc("score"), "entity"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

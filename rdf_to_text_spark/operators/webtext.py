@@ -643,6 +643,8 @@ def hits_int(
     skeleton as pagerank_int, edges persisted once (`cleanup` house
     contract).
     """
+    if iters < 1:
+        raise ValueError(f"hits_int requires iters >= 1, got {iters}")
     ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
     edges = edges.persist()
     if cleanup is not None:

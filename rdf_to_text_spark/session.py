@@ -43,6 +43,12 @@ def get_spark(
         # Broadcast threshold: alias dictionaries / vocab tables are
         # dictionary-sized; let AQE upgrade joins aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Crawl timestamps are UTC instants (WARC-Date, sitemap lastmod);
+        # pin the session zone so wall-clock parse/format round-trips are
+        # host-timezone-invariant. Catalog queries additionally parse
+        # offsets explicitly (pattern XXX) so they stay correct even
+        # under a driver-created session without this pin.
+        .config("spark.sql.session.timeZone", "UTC")
         # Local mode: the driver IS the executor — size the heap for all
         # concurrent task buffers (measured: 8g chokes GC at 32 tasks of
         # Arrow traffic, halving throughput; 24g restores linear scaling).

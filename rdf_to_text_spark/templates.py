@@ -158,6 +158,41 @@ def surface_variants(canonical: str) -> list[str]:
     return out
 
 
+# Pools whose members are numeric literals, not linkable entities.
+_LITERAL_POOLS = frozenset({"RunwayLen", "Year", "Population"})
+
+
+def entity_like_names() -> list[str]:
+    """Every canonical name that denotes an entity (subjects + the
+    entity-like object pools; numeric-literal pools excluded), deduped
+    and sorted — the KB node set entity linking targets."""
+    seen: set[str] = set()
+    for names in ENTITIES.values():
+        seen.update(names)
+    for pool, names in OBJ_POOLS.items():
+        if pool not in _LITERAL_POOLS:
+            seen.update(names)
+    return sorted(seen)
+
+
+def first_token_candidates() -> list[tuple[str, str]]:
+    """(mention, entity) pairs where mention = lowercased FIRST TOKEN of
+    the clean surface — the sloppy anchor-text alias real crawls carry.
+
+    Deliberately ambiguous: 'aarhus' maps to the city (Aarhus), the
+    airport (Aarhus_Airport) and the operator (Aarhus_Lufthavn_A/S);
+    context-free lexicographic choice picks a decoy, so a reranker
+    needs an external signal (the co-occurrence prior) to resolve it.
+    Dictionary-sized by construction (one row per (first-token, entity)
+    pair over the KB) — the broadcast build side of kg_link_prior and
+    the VALUES CTE of its generated DuckDB oracle."""
+    pairs = {
+        (clean_surface(name).split()[0].lower(), name)
+        for name in entity_like_names()
+    }
+    return sorted(pairs)
+
+
 def build_alias_index() -> dict[str, tuple[str, str]]:
     """surface -> (canonical, category/pool). Covers subjects and objects."""
     idx: dict[str, tuple[str, str]] = {}

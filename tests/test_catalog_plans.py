@@ -54,3 +54,15 @@ def test_known_broadcast_joins_still_broadcast(built_plans):
         "tpch_q7_volume_shipping",
     ):
         assert "BroadcastHashJoin" in formatted_plan(built_plans[name]), name
+
+
+def test_bucketed_shard_packer_has_no_single_partition_exchange(built_plans):
+    """pack_training_shards_bucketed is the production form: the global
+    cumsum must run per range bucket + driver offsets — an unpartitioned
+    window would show up as Exchange SinglePartition (its spec twin
+    pack_training_shards deliberately keeps one, as the arithmetic
+    reference)."""
+    plan = formatted_plan(built_plans["pack_training_shards_bucketed"])
+    assert "SinglePartition" not in plan, plan
+    spec = formatted_plan(built_plans["pack_training_shards"])
+    assert "SinglePartition" in spec  # the twin really is the spec form

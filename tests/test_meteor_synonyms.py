@@ -128,3 +128,26 @@ def test_syn_noop_without_mapping(spark):
     base = meteor_stats(hdf, rdf).collect()[0]
     syn = meteor_stats(hdf, rdf, synonyms={}).collect()[0]
     assert (base.m, base.chunks, base.m_syn) == (syn.m, syn.chunks, syn.m_syn) == (3, 1, 0)
+
+
+def test_default_synonyms_preset(spark):
+    from rdf_to_text_spark.operators.evalmetrics import (
+        DEFAULT_SYNONYMS,
+        meteor_stats,
+    )
+
+    hyps = spark.createDataFrame(
+        [(1, "the big city is fast")], "id long, hyp string"
+    )
+    refs = spark.createDataFrame(
+        [(1, "the large town is quick")], "id long, ref string"
+    )
+    row = meteor_stats(hyps, refs, synonyms="default").collect()[0]
+    # 'the'/'is' exact; big~large, city~town, fast~quick via the table
+    assert (row.m, row.m_syn) == (5, 3)
+    assert DEFAULT_SYNONYMS["large"] == "big" and DEFAULT_SYNONYMS["town"] == "city"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="preset"):
+        meteor_stats(hyps, refs, synonyms="wordnet").collect()

@@ -244,3 +244,37 @@ def test_jsonld_value_and_list_objects_fold_to_scalars():
         (0, "X", "child", "_:j1"),
         (1, "_:j1", "p", "v"),
     ]
+
+
+def test_uppercase_markup_is_not_dropped_by_marker_fast_path():
+    # HTML names are case-insensitive; the marker scan runs over a
+    # lowercased copy so all-uppercase crawl markup still parses (r5
+    # ADVICE: the old scan was case-sensitive and returned empty views).
+    up_table = '<TABLE CLASS="infobox"><TR><TH>K</TH><TD>V</TD></TR></TABLE>'
+    assert parse_structdata_py(up_table)["infobox"] == [(0, 0, "K", "V")]
+    up_md = '<DIV ITEMSCOPE ITEMID="X"><META ITEMPROP="k" CONTENT="v"></DIV>'
+    assert parse_structdata_py(up_md)["microdata"] == [(0, "X", "k", "v")]
+    up_ld = '<SCRIPT TYPE="APPLICATION/LD+JSON">{"@id":"A","p":"v"}</SCRIPT>'
+    assert parse_structdata_py(up_ld)["jsonld"] == [(0, "A", "p", "v")]
+
+
+def test_empty_views_are_fresh_objects_per_call():
+    a = parse_structdata_py(None)
+    a["infobox"].append(("polluted",))
+    b = parse_structdata_py("<p>no markers here</p>")
+    assert b["infobox"] == [] and b["jsonld"] == [] and b["microdata"] == []
+
+
+def test_implied_tr_close_flushes_pending_row():
+    # </tr> may be omitted (implied close by the next <tr> or by the
+    # table closing); the pending row must be emitted, not overwritten.
+    html = (
+        '<table class="infobox">'
+        "<tr><th>A</th><td>1</td>"      # no </tr>: implied by next <tr>
+        "<tr><th>B</th><td>2</td>"      # no </tr>: implied by </table>
+        "</table>"
+    )
+    assert parse_structdata_py(html)["infobox"] == [
+        (0, 0, "A", "1"),
+        (0, 1, "B", "2"),
+    ]

@@ -15,3 +15,32 @@ def test_crawl_frontier_min_depth_and_early_stop(spark):
     lonely = spark.createDataFrame([(99,)], "doc_id long")
     got2 = {(r.doc_id, r.depth) for r in crawl_frontier(edges, lonely, 3).collect()}
     assert got2 == {(99, 0)}
+
+
+def test_hits_int_rejects_nonpositive_iters(spark):
+    import pytest as _pytest
+
+    from rdf_to_text_spark.operators.webtext import hits_int
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with _pytest.raises(ValueError, match="iters"):
+        hits_int(edges, nodes, iters=0)
+
+
+def test_sitemap_gap_is_session_timezone_invariant(spark, tmp_path):
+    # lastmod is parsed with an explicit UTC offset (pattern XXX): the
+    # stale/fresh split must not move with spark.sql.session.timeZone.
+    from rdf_to_text_spark.queries_catalog import QUERIES, EXTRA_QUERIES
+
+    q = (EXTRA_QUERIES | QUERIES)["web_sitemap_gap"]
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        east = sorted(map(tuple, q(spark, sf).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = sorted(map(tuple, q(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert east == utc and len(utc) > 0
