@@ -194,12 +194,27 @@ def extract_text_rich_py(html: bytes | str | None) -> str:
     return _parse(html).text()
 
 
+# Kernel selector, same contract as functions/structparse.KERNEL:
+# "scan" drives _TextExtractor with structscan.feed_events (the tame
+# event tokenizer — equivalence-or-fallback, differential-tested) and
+# re-runs the stdlib walk on any surprise; "full" pins the stdlib walk.
+KERNEL = "scan"
+
+
 def _parse(html: bytes | str | None) -> _TextExtractor:
     parser = _TextExtractor()
     if html is None:
         return parser
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
+    if KERNEL == "scan":
+        from . import structscan
+
+        try:
+            structscan.feed_events(parser, html)
+            return parser
+        except Exception:
+            parser = _TextExtractor()  # Untame/surprise: stdlib decides
     try:
         parser.feed(html)
         parser.close()

@@ -409,6 +409,33 @@ def parse_structdata_py(html: bytes | str | None) -> dict:
         and "<table" not in lowered
     ):
         return _empty_views()
+    parser = _run_parser(html)
+    return {
+        "jsonld": flatten_jsonld(parser.jsonld_blocks()),
+        "microdata": [tuple(r) for r in parser.md_rows],
+        "infobox": [tuple(r) for r in parser.tb_rows],
+    }
+
+
+# Kernel selector: "scan" = the two-state fast scanner
+# (functions/structscan.py) with automatic fallback to the stdlib
+# HTMLParser walk on any non-tame construct; "full" pins the stdlib
+# walk (the reference kernel, used by the differential tests and as
+# the ceiling control in bench_scaling).
+KERNEL = "scan"
+
+
+def _run_parser(html: str) -> "_StructParser":
+    if KERNEL == "scan":
+        from . import structscan
+
+        parser = _StructParser()
+        try:
+            structscan.scan_structdata(parser, html)
+            parser.finalize()
+            return parser
+        except Exception:
+            pass  # Untame or any scanner surprise: full parse decides
     parser = _StructParser()
     try:
         parser.feed(html)
@@ -416,8 +443,4 @@ def parse_structdata_py(html: bytes | str | None) -> dict:
     except Exception:
         pass
     parser.finalize()
-    return {
-        "jsonld": flatten_jsonld(parser.jsonld_blocks()),
-        "microdata": [tuple(r) for r in parser.md_rows],
-        "infobox": [tuple(r) for r in parser.tb_rows],
-    }
+    return parser

@@ -219,6 +219,24 @@ class _BitReader:
         self.pos = p + 2
         return d[p + 1]
 
+    def marker_pos(self) -> int:
+        """Byte offset of the next real marker after the current scan —
+        drops partial bits, walks over pad/fill bytes and stuffed
+        FF00s. Used between progressive scans."""
+        self._n = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF:
+                if d[p + 1] == 0x00:
+                    p += 2  # stuffed data byte
+                    continue
+                if d[p + 1] == 0xFF:
+                    p += 1  # fill byte
+                    continue
+                return p
+            p += 1
+        return len(d)
+
 
 class _AtMarker(Exception):
     """Bit-reader hit a non-stuffed marker (RSTn or EOI)."""
@@ -314,22 +332,15 @@ def _encode_blocks(
             run = 0
 
 
-def encode_jpeg(
+def _prepare_qblocks(
     pixels: np.ndarray,
-    qt_luma: np.ndarray = FLAT_QT,
-    qt_chroma: np.ndarray | None = None,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W) uint8 gray or (H, W, 3) uint8 RGB → baseline JFIF bytes.
-
-    Quantization tables are given in RASTER order (reshaped 8x8) and
-    written zig-zagged into DQT as the standard requires. Gray input
-    emits a 1-component scan; RGB converts to YCbCr and emits 4:4:4
-    (all 1x1) or 4:2:0 (luma 2x2, chroma boxcar-mean downsampled).
-    ``restart_interval`` > 0 emits DRI and RSTn markers every that
-    many MCUs — the resync path real Common-Crawl JPEGs exercise.
-    """
+    qt_luma: np.ndarray,
+    qt_chroma: np.ndarray | None,
+    subsampling: str,
+):
+    """Shared front half of both encoders: color transform, subsample,
+    pad to the MCU grid, block, DCT, quantize. Returns
+    (gray, h, w, comps, qblocks, bw, mcus_x, mcus_y, qts)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -364,9 +375,8 @@ def encode_jpeg(
 
     hmax = max(c[0] for c in comps)
     vmax = max(c[1] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
     # per component: pad the plane to its own MCU grid, block, DCT, quant
     qblocks: list[np.ndarray] = []
@@ -383,6 +393,28 @@ def encode_jpeg(
         q = qts[qid].reshape(8, 8)
         qblocks.append(_round(coeff / q).astype(np.int64))
         bw.append(pw // 8)
+    return gray, h, w, comps, qblocks, bw, mcus_x, mcus_y, qts
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    qt_luma: np.ndarray = FLAT_QT,
+    qt_chroma: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) uint8 gray or (H, W, 3) uint8 RGB → baseline JFIF bytes.
+
+    Quantization tables are given in RASTER order (reshaped 8x8) and
+    written zig-zagged into DQT as the standard requires. Gray input
+    emits a 1-component scan; RGB converts to YCbCr and emits 4:4:4
+    (all 1x1) or 4:2:0 (luma 2x2, chroma boxcar-mean downsampled).
+    ``restart_interval`` > 0 emits DRI and RSTn markers every that
+    many MCUs — the resync path real Common-Crawl JPEGs exercise.
+    """
+    gray, h, w, comps, qblocks, bw, mcus_x, mcus_y, qts = _prepare_qblocks(
+        pixels, qt_luma, qt_chroma, subsampling
+    )
 
     dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
@@ -462,14 +494,222 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (H, W, C) uint8, C = 1 gray / 3 RGB.
+# ----------------------------------------------------- progressive (SOF2)
+def _comp_grid(h: int, w: int, hs: int, vs: int, hmax: int, vmax: int):
+    """Non-interleaved scan grid for one component (T.81 A.2.2): blocks
+    of ceil(comp_w/8) × ceil(comp_h/8), WITHOUT padding to the MCU
+    sampling multiple (those edge blocks exist only in interleaved
+    scans)."""
+    comp_w = -(-(w * hs) // hmax)  # ceil(w*hs/hmax)
+    comp_h = -(-(h * vs) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)  # ceil(comp/8) each
 
-    Real decoder: marker walk, DQT/DHT/SOF0/DRI/SOS parse, canonical
-    Huffman + EXTEND entropy decode with byte un-stuffing and RSTn
-    resync, vectorized dequantize + IDCT per component, nearest
-    chroma upsample, YCbCr→RGB, crop to the declared (H, W). Raises
-    ValueError on anything outside the documented baseline scope.
+
+def _emit_bits(writer: _BitWriter, bits: list[int]) -> None:
+    for b in bits:
+        writer.put(b, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    qt_luma: np.ndarray = FLAT_QT,
+    qt_chroma: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+    al: int = 1,
+) -> bytes:
+    """(H, W[, 3]) uint8 → PROGRESSIVE JFIF bytes (SOF2, T.81 Annex G).
+
+    Scan script (exercises every progressive scan type):
+      1. DC first, all components interleaved, successive approx Al=al;
+      2. AC first per component, spectral bands 1-5 then 6-63, Al=al;
+      3. DC refinement (Ah=al → Al=0), one raw bit per block;
+      4. AC refinement per component, 1-63 (Ah=al → Al=0), per the
+         spec's figure G.7 coding with libjpeg's EOB folding.
+    With ``al=0`` steps 3-4 are omitted (spectral selection only).
+    EOB runs are capped at 1 (always EOB0) so the Annex K standard
+    Huffman tables suffice — EOBn symbols for n>0 are not in them;
+    the decoder still accepts general EOBn from other encoders.
+    Only ``al in (0, 1)`` is supported (one refinement pass per bit
+    position keeps the script compact; the decoder handles any Al).
+    """
+    if al not in (0, 1):
+        raise ValueError("al must be 0 or 1")
+    gray, h, w, comps, qblocks, bw, mcus_x, mcus_y, qts = _prepare_qblocks(
+        pixels, qt_luma, qt_chroma, subsampling
+    )
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    # zigzag-order coefficient rows, one per (padded) block
+    zz = [qb.reshape(-1, 64)[:, ZIGZAG].astype(np.int64) for qb in qblocks]
+
+    dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_codes = [_canonical_codes(*dc_specs[0 if i == 0 else 1]) for i in range(len(comps))]
+    ac_codes = [_canonical_codes(*ac_specs[0 if i == 0 else 1]) for i in range(len(comps))]
+
+    def mcu_blocks():
+        """Interleaved (ci, bi) walk — all components, padded grid."""
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (hs, vs, _) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, (my * vs + by) * bw[ci] + mx * hs + bx
+
+    def comp_blocks(ci):
+        """Non-interleaved bi walk over the component's own grid."""
+        hs, vs, _ = comps[ci]
+        cw, ch = _comp_grid(h, w, hs, vs, hmax, vmax)
+        for by in range(ch):
+            for bx in range(cw):
+                yield by * bw[ci] + bx
+
+    def dc_walk():
+        # a one-component image has no interleaved scans (T.81 A.2)
+        if len(comps) == 1:
+            return (((0, bi) for bi in comp_blocks(0)))
+        return mcu_blocks()
+
+    scans: list[bytes] = []
+    headers: list[bytes] = []
+
+    def sos_header(cis: list[int], ss: int, se: int, ah: int, a: int) -> bytes:
+        p = bytearray([len(cis)])
+        for ci in cis:
+            tid = 0 if ci == 0 else 1
+            p += bytes([ci + 1, (tid << 4) | tid])
+        p += bytes([ss, se, (ah << 4) | a])
+        return bytes(p)
+
+    # --- scan 1: DC first (point transform = arithmetic shift, G.1.2.1)
+    wtr = _BitWriter()
+    pred = [0] * len(comps)
+    for ci, bi in dc_walk():
+        v = int(zz[ci][bi, 0]) >> al
+        diff = v - pred[ci]
+        pred[ci] = v
+        ssss = _category(diff)
+        code, length = dc_codes[ci][ssss]
+        wtr.put(code, length)
+        if ssss:
+            wtr.put(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+    wtr.pad_to_byte()
+    headers.append(sos_header(list(range(len(comps))), 0, 0, 0, al))
+    scans.append(bytes(wtr.out))
+
+    # --- AC first scans (point transform = sign-magnitude shift)
+    for ci in range(len(comps)):
+        for (ss, se) in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            for bi in comp_blocks(ci):
+                row = zz[ci][bi]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[ci][0xF0]
+                        wtr.put(code, length)
+                        run -= 16
+                    s = _category(t)
+                    code, length = ac_codes[ci][(run << 4) | s]
+                    wtr.put(code, length)
+                    wtr.put(t if t >= 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, length = ac_codes[ci][0x00]  # EOB0
+                    wtr.put(code, length)
+            wtr.pad_to_byte()
+            headers.append(sos_header([ci], ss, se, 0, al))
+            scans.append(bytes(wtr.out))
+
+    if al:
+        # --- DC refinement: raw bit al-1..0 (here al=1 → bit 0) per block
+        wtr = _BitWriter()
+        for ci, bi in dc_walk():
+            wtr.put(int(zz[ci][bi, 0]) & 1, 1)
+        wtr.pad_to_byte()
+        headers.append(sos_header(list(range(len(comps))), 0, 0, al, 0))
+        scans.append(bytes(wtr.out))
+
+        # --- AC refinement per component (figure G.7 + EOB folding)
+        for ci in range(len(comps)):
+            wtr = _BitWriter()
+            for bi in comp_blocks(ci):
+                row = zz[ci][bi]
+                tvals = [abs(int(row[k])) for k in range(1, 64)]
+                eobpos = 0  # last newly-significant index, 0 if none
+                for k in range(1, 64):
+                    if tvals[k - 1] == 1:
+                        eobpos = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = tvals[k - 1]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        code, length = ac_codes[ci][0xF0]
+                        wtr.put(code, length)
+                        _emit_bits(wtr, br)
+                        br = []
+                        run -= 16
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    code, length = ac_codes[ci][(run << 4) | 1]
+                    wtr.put(code, length)
+                    wtr.put(1 if int(row[k]) > 0 else 0, 1)
+                    _emit_bits(wtr, br)
+                    br = []
+                    run = 0
+                if run or br:
+                    code, length = ac_codes[ci][0x00]  # EOB0 folds the tail
+                    wtr.put(code, length)
+                    _emit_bits(wtr, br)
+            wtr.pad_to_byte()
+            headers.append(sos_header([ci], 1, 63, al, 0))
+            scans.append(bytes(wtr.out))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid in range(2 if not gray else 1):
+        zzq = np.asarray(qts[qid], np.int64).reshape(64)[ZIGZAG]
+        out += _seg(0xDB, bytes([qid]) + bytes(int(v) for v in zzq))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for ci, (hs, vs, qid) in enumerate(comps):
+        sof += bytes([ci + 1, (hs << 4) | vs, qid])
+    out += _seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    for cls, specs in ((0, dc_specs), (1, ac_specs)):
+        for tid in range(2 if not gray else 1):
+            bits, vals = specs[tid]
+            out += _seg(
+                0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+            )
+    for hd, sc in zip(headers, scans):
+        out += _seg(0xDA, hd)
+        out += sc
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes → (H, W, C)
+    uint8, C = 1 gray / 3 RGB.
+
+    Real decoder: marker walk, DQT/DHT/SOF0/SOF2/DRI/SOS parse,
+    canonical Huffman + EXTEND entropy decode with byte un-stuffing and
+    RSTn resync; progressive streams run the full T.81 Annex G scan
+    machinery — interleaved/non-interleaved DC first + refinement,
+    spectral-selection AC first scans with EOBn runs, and successive-
+    approximation AC refinement — accumulating zigzag coefficients
+    across scans. Then vectorized dequantize + IDCT per component,
+    nearest chroma upsample, YCbCr→RGB, crop to the declared (H, W).
+    Raises ValueError on anything outside the documented scope.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -480,11 +720,155 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
     h = w = None
     restart_interval = 0
+    progressive = False
+    zzco: list[np.ndarray] | None = None  # per comp (n_blocks, 64) zigzag
+    geom: tuple | None = None  # (hmax, vmax, mcus_x, mcus_y, bw, bh)
+
+    def ensure_geometry():
+        nonlocal zzco, geom
+        if geom is not None:
+            return geom
+        hm = max(c[1] for c in comps)
+        vm = max(c[2] for c in comps)
+        mx = -(-w // (8 * hm))
+        my = -(-h // (8 * vm))
+        bws = [mx * hs for _, hs, _, _ in comps]
+        bhs = [my * vs for _, _, vs, _ in comps]
+        geom = (hm, vm, mx, my, bws, bhs)
+        zzco = [
+            np.zeros(bhs[i] * bws[i] * 64, dtype=np.int32).reshape(-1, 64)
+            for i in range(len(comps))
+        ]
+        return geom
+
+    def prog_scan(reader, sc, ss, se, ah, a_l):
+        """Decode one progressive scan in place; returns nothing. ``sc``
+        is the parsed scan-component list [(ci, dc_tid, ac_tid)]."""
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (B.2.3)")
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+        hm, vm, mx, my, bws, bhs = ensure_geometry()
+        interleaved = len(sc) > 1
+
+        def units():
+            """Scan MCUs: lists of (ci, bi) per restart-countable unit."""
+            if interleaved:
+                for m in range(mx * my):
+                    yy, xx = divmod(m, mx)
+                    u = []
+                    for (ci, _dc, _ac) in sc:
+                        _, hs, vs, _ = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                u.append((ci, (yy * vs + by) * bws[ci] + xx * hs + bx))
+                    yield u
+            else:
+                ci = sc[0][0]
+                _, hs, vs, _ = comps[ci]
+                cw, ch = _comp_grid(h, w, hs, vs, hm, vm)
+                for by in range(ch):
+                    for bx in range(cw):
+                        yield [(ci, by * bws[ci] + bx)]
+
+        pred = {ci: 0 for (ci, _d, _a) in sc}
+        eobrun = 0
+        since = 0
+        p1, m1 = 1 << a_l, -1 << a_l
+        try:
+            for unit in units():
+                if restart_interval and since == restart_interval:
+                    rst = reader.align_to_marker()
+                    if not 0xD0 <= rst <= 0xD7:
+                        raise ValueError(f"expected RSTn, found 0xFF{rst:02X}")
+                    pred = {ci: 0 for (ci, _d, _a) in sc}
+                    eobrun = 0
+                    since = 0
+                for (ci, bi) in unit:
+                    dc_tid = next(d for (c, d, _a) in sc if c == ci)
+                    ac_tid = next(a for (c, _d, a) in sc if c == ci)
+                    row = zzco[ci][bi]
+                    if ss == 0 and ah == 0:  # DC first
+                        ssss = _huff_decode(reader, huff[(0, dc_tid)])
+                        diff = _extend(reader.bits(ssss), ssss)
+                        pred[ci] += diff
+                        row[0] = pred[ci] << a_l
+                    elif ss == 0:  # DC refinement: one raw bit
+                        if reader.bit():
+                            row[0] = int(row[0]) | p1
+                    elif ah == 0:  # AC first (band ss..se)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, huff[(1, ac_tid)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            row[k] = _extend(reader.bits(s), s) << a_l
+                            k += 1
+                    else:  # AC refinement (G.1.2.3 / figure G.7)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _huff_decode(reader, huff[(1, ac_tid)])
+                                r, s = rs >> 4, rs & 0xF
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad successive-approx symbol"
+                                        )
+                                    newval = p1 if reader.bit() else m1
+                                while k <= se:
+                                    v = int(row[k])
+                                    if v != 0:
+                                        if reader.bit() and (v & p1) == 0:
+                                            row[k] = v + (p1 if v >= 0 else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    row[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                v = int(row[k])
+                                if v != 0:
+                                    if reader.bit() and (v & p1) == 0:
+                                        row[k] = v + (p1 if v >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+                since += 1
+        except _AtMarker as exc:
+            raise ValueError("scan data ended early (truncated JPEG)") from exc
+
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seglen]
@@ -509,7 +893,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             depth, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if depth != 8:
                 raise ValueError(f"unsupported sample depth {depth}")
@@ -521,7 +906,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for _, hs, vs, _ in comps:
                 if (hs, vs) not in ((1, 1), (2, 2), (2, 1), (1, 2)):
                     raise ValueError(f"unsupported sampling {hs}x{vs}")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline SOF marker 0xFF{marker:02X} unsupported"
@@ -529,17 +914,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS: entropy data follows
+            if h is None or not comps:
+                raise ValueError("SOS before SOF header")
             ns = payload[0]
+            sc = []
             for si in range(ns):
                 cid, tids = payload[1 + 2 * si : 3 + 2 * si]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scan_comps.append((idx, tids >> 4, tids & 0xF))
-            break
+                sc.append((idx, tids >> 4, tids & 0xF))
+            if not progressive:
+                scan_comps = sc
+                break
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            reader = _BitReader(data, pos)
+            prog_scan(reader, sc, ss, se, ahal >> 4, ahal & 0xF)
+            pos = reader.marker_pos()
         # APPn / COM / others: skipped
     else:
-        raise ValueError("no SOS marker found")
+        if not progressive:
+            raise ValueError("no SOS marker found")
     if h is None or not comps:
-        raise ValueError("missing SOF0 header")
+        raise ValueError("missing SOF header")
+    if progressive:
+        if zzco is None:
+            raise ValueError("progressive stream with no scans")
+        hmax, vmax, mcus_x, mcus_y, bw, bh = geom
+        coeffs = []
+        for i in range(len(comps)):
+            raster = np.zeros((zzco[i].shape[0], 64), dtype=np.float64)
+            raster[:, ZIGZAG] = zzco[i]
+            coeffs.append(raster)
+        return _finish_decode(comps, coeffs, qt, bw, bh, hmax, vmax, h, w)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -596,6 +1001,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("scan data ended early (truncated JPEG)") from exc
         since_restart += 1
 
+    return _finish_decode(comps, coeffs, qt, bw, bh, hmax, vmax, h, w)
+
+
+def _finish_decode(comps, coeffs, qt, bw, bh, hmax, vmax, h, w) -> np.ndarray:
+    """Shared back half of both decode paths: dequantize, IDCT,
+    reassemble planes, chroma upsample, color convert, crop."""
     planes: list[np.ndarray] = []
     for i, (_, hs, vs, qid) in enumerate(comps):
         if qid not in qt:

@@ -30,6 +30,7 @@ from rdf_to_text_spark.operators.jpeg import (
     _canonical_codes,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -140,11 +141,16 @@ def test_ac_content_roundtrip_bounds():
 def test_out_of_scope_raises_loudly():
     img = _tile_image(np.random.RandomState(1), 8, 8)
     data = bytearray(encode_jpeg(img))
-    # SOF0 -> SOF2 (progressive): explicit refusal, not garbage output
+    # SOF0 -> SOF3 (lossless): explicit refusal, not garbage output
     sof = data.find(b"\xff\xc0")
     assert sof > 0
-    data[sof + 1] = 0xC2
+    data[sof + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    # SOF0 relabeled SOF2: the baseline SOS (Ss=0, Se=63) is an illegal
+    # progressive DC band — loud refusal, not a silent misdecode
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
@@ -168,3 +174,42 @@ def test_decode_image_routes_jpeg_bgr():
     bgr = decode_image(encode_jpeg(rgb))
     rt = decode_jpeg(encode_jpeg(rgb))
     assert np.array_equal(bgr, rt[:, :, ::-1])
+
+
+def test_progressive_roundtrip_matches_baseline_decode():
+    # Progressive is a reordering of the SAME quantized coefficients, so
+    # decode(progressive(px)) must be pixel-identical to
+    # decode(baseline(px)) — both scan scripts (spectral-only al=0 and
+    # successive-approximation al=1), gray + RGB, 4:4:4 + 4:2:0,
+    # non-multiple-of-8/16 dims (non-interleaved grid ≠ padded grid).
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, size=(13, 21), dtype=np.uint8),
+        rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8),
+    ]
+    gy, gx = np.mgrid[0:24, 0:40]
+    cases.append(((gy * 3 + gx * 2) % 256).astype(np.uint8))
+    for px in cases:
+        subs = ["4:4:4"] + (["4:2:0"] if px.ndim == 3 else [])
+        for sub in subs:
+            base = decode_jpeg(encode_jpeg(px, subsampling=sub))
+            for al in (0, 1):
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(px, subsampling=sub, al=al)
+                )
+                assert np.array_equal(base, prog), (px.shape, sub, al)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    px = np.full((16, 16, 3), 77, dtype=np.uint8)
+    data = encode_jpeg_progressive(px)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # scan script: DC first + 2 AC bands × 3 comps + DC refine + 3 AC refine
+    assert data.count(b"\xff\xda") == 1 + 6 + 1 + 3
+
+
+def test_progressive_rejects_bad_al():
+    import pytest as _p
+
+    with _p.raises(ValueError, match="al"):
+        encode_jpeg_progressive(np.zeros((8, 8), np.uint8), al=2)
