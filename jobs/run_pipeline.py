@@ -62,6 +62,14 @@ def main() -> int:
         "structured provenance); with --synthetic, renders pages that "
         "carry JSON-LD/microdata/infobox alongside prose (fixtures_struct)",
     )
+    ap.add_argument(
+        "--link-prior",
+        action="store_true",
+        help="after extraction, resolve ambiguous first-token object "
+        "mentions against the corpus co-occurrence prior "
+        "(operators/linking.py: capped_entity_pairs + link_with_prior) "
+        "and write mentions_linked/ alongside edges/",
+    )
     ap.add_argument("--output", required=True, help="output base dir (edges/ lineage/)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--master", default=None)
@@ -202,6 +210,46 @@ def main() -> int:
         )
         canonical.write.mode("overwrite").parquet(f"{args.output}/entities_canonical")
         summary["canonical_entities"] = canonical.count()
+
+    if args.link_prior:
+        # signals→linking production tail (same operators the driver
+        # gates via kg_link_prior): prior from the WRITTEN edge table,
+        # candidates broadcast from the alias constants, winner per
+        # mention by (co-occurrence with the page subject desc, entity).
+        from pyspark.sql import functions as F
+
+        from rdf_to_text_spark.operators.linking import (
+            capped_entity_pairs,
+            link_with_prior,
+        )
+        from rdf_to_text_spark.templates import (
+            entity_like_names,
+            first_token_candidates,
+        )
+
+        edges = sink.edges()
+        ents = spark.createDataFrame(
+            [(e,) for e in entity_like_names()], "entity string"
+        )
+        inc = edges.select("doc_id", F.col("subj").alias("entity")).unionByName(
+            edges.join(F.broadcast(ents), edges["obj"] == ents["entity"], "leftsemi")
+            .select("doc_id", F.col("obj").alias("entity"))
+        )
+        prior = capped_entity_pairs(inc, cap=4)
+        cands = spark.createDataFrame(
+            first_token_candidates(), "mention string, entity string"
+        )
+        mentions = edges.filter(F.col("obj_surface").isNotNull()).select(
+            "doc_id",
+            "sent_idx",
+            F.lower(F.element_at(F.split("obj_surface", " "), 1)).alias("mention"),
+            F.col("subj").alias("anchor"),
+        )
+        linked = link_with_prior(mentions, cands, prior)
+        linked.write.mode("overwrite").parquet(f"{args.output}/mentions_linked")
+        summary["mentions_linked"] = (
+            spark.read.parquet(f"{args.output}/mentions_linked").count()
+        )
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -2243,6 +2243,127 @@ def eval_meteor_default_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "kg_triple_reorder",
+    f"""WITH {fixtures.gold_cte()}
+SELECT pred || '|' || subj || '|' || obj AS pso FROM gold""",
+)
+def kg_triple_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (pred, subj, obj) stream order, oracle-checked: the reorder is
+    encoded in the VALUE (a '|'-joined stream string) because the
+    driver's compare sorts columns by name — column order alone would
+    be invisible to the hash; the multiset of stream strings pins the
+    projection. (operators/misc.py:reorder_pred_first; reference
+    webnlg_re_input.py:253-277.)"""
+    from .operators.misc import reorder_pred_first
+
+    r = reorder_pred_first(_triples(spark, sf_dir))
+    return r.select(F.concat_ws("|", "pred", "subj", "obj").alias("pso"))
+
+
+@_register_extra(
+    "kg_token_positions",
+    f"""WITH {fixtures.gold_cte()},
+w AS (
+  SELECT g.doc_id, g.sent_idx,
+         list_extract(regexp_split_to_array(g.obj_surface, ' '), 1) AS word,
+         regexp_split_to_array(d.text, ' ') AS toks
+  FROM gold g JOIN documents d ON d.doc_id = g.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       word, CAST(COALESCE(list_position(toks, word), 0) - 1 AS INT) AS token_pos
+FROM w""",
+)
+def kg_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 token position lookup, oracle-checked: first index of the
+    object surface's first token in the page text, 0-based with -1 for
+    absent — the reference's `lex.split(' ').index(word)`
+    (webnlg_re_input.py:191-196) via operators/misc.py:token_position.
+    Filler-only pages exercise the -1 branch (their gold rows don't
+    exist, but xx-language and truncated surfaces do miss)."""
+    from .operators.misc import token_position
+
+    t = _triples(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    joined = (
+        t.select(
+            "doc_id",
+            "sent_idx",
+            F.element_at(F.split("obj_surface", " "), 1).alias("word"),
+        )
+        .join(docs, "doc_id")
+    )
+    out = token_position(joined, "text", "word")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("sent_idx").cast("int"),
+        "word",
+        F.col("token_pos").cast("int"),
+    )
+
+
+@_register_extra(
+    "kg_triples_reversed",
+    f"""WITH {fixtures.gold_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(subj || '|' || pred || '|' || obj, ' ; '
+                  ORDER BY sent_idx DESC) AS line
+FROM gold GROUP BY doc_id""",
+)
+def kg_triples_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 triples.reverse() (webnlg_baseline_input.py:130-133),
+    oracle-checked: per-entry triple array reversed, order pinned in a
+    joined string value (operators/misc.py:reverse_triples)."""
+    from .operators.misc import reverse_triples
+
+    t = _triples(spark, sf_dir)
+    arr = t.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "sent_idx",
+                        F.concat_ws("|", "subj", "pred", "obj").alias("s"),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("triples")
+    )
+    rev = reverse_triples(arr)
+    return rev.select("doc_id", F.array_join("triples", " ; ").alias("line"))
+
+
+@_register_extra(
+    "kg_shuffle_rank_md5",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY md5('10:' || CAST(doc_id AS VARCHAR)))
+            AS BIGINT) AS rank
+FROM documents""",
+)
+def kg_shuffle_rank_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 seeded-shuffle idiom under a PORTABLE hash: the reference
+    co-shuffles its aligned files with random.seed(10)
+    (webnlg_baseline_input.py:148-157); the engine's production
+    operator is operators/misc.py:seeded_pseudo_shuffle (xxhash64 —
+    fastest, but not SQL-replayable, so rows-only tested). This twin
+    pins the SAME deterministic-permutation semantics cross-engine via
+    md5('salt:'||id), ranked with the distributed two-pass
+    global_row_numbers — no single-task sort at scale."""
+    from .functions.ranking import global_row_numbers
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    key = F.md5(F.concat(F.lit("10:"), F.col("doc_id").cast("string")))
+    ranked = global_row_numbers(
+        docs.withColumn("_k", key),
+        [F.col("_k")],
+        rn_col="rank",
+        small_threshold=0,
+        cleanup=_CLEANUPS,
+    )
+    return ranked.select("doc_id", F.col("rank").cast("long"))
+
+
+@_register_extra(
     "events_salted_collect",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
        string_agg(event_type, ',' ORDER BY event_type) AS event_types

@@ -173,3 +173,36 @@ def test_run_pipeline_warc_detect_lang(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(warc_dir, ignore_errors=True)
+
+
+def test_run_pipeline_link_prior(spark):
+    """--link-prior writes mentions_linked/ from the WRITTEN edge table:
+    every mention resolves to a candidate of its first-token alias set,
+    and at least one prior-scored decision carries a positive score."""
+    out_dir = tempfile.mkdtemp(prefix="kgcli_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--synthetic", "300", "--output", out_dir,
+                "--chunks", "2", "--master", "local[4]", "--link-prior",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["mentions_linked"] > 0
+
+        from rdf_to_text_spark.templates import first_token_candidates
+
+        cands: dict[str, set] = {}
+        for m, e in first_token_candidates():
+            cands.setdefault(m, set()).add(e)
+        linked = spark.read.parquet(f"{out_dir}/mentions_linked").collect()
+        assert len(linked) == summary["mentions_linked"]
+        assert all(r.entity in cands[r.mention] for r in linked)
+        assert any(r.score > 0 for r in linked)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
