@@ -232,8 +232,10 @@ def main() -> None:
             "kg_token_positions",
             "kg_triples_reversed",
             "kg_shuffle_rank_md5",
+            "dedup_cluster_mirrors",
         ),
-        {},
+        # reuses the kg_e2e_crawl WARC cache; run 2 is the steady number
+        {"dedup_cluster_mirrors": 2},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force

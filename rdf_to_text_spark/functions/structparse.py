@@ -388,15 +388,18 @@ def parse_structdata_py(html: bytes | str | None) -> dict:
 
     Marker fast-path: most real crawl pages carry NO structured data;
     a substring scan for the three carriers' unavoidable markers
-    (``itemscope``, ``ld+json``, ``<table``) is ~100× cheaper than the
+    (``itemscope``, ``ld+json``, ``infobox``) is ~100× cheaper than the
     tokenizer, so marker-less pages skip it entirely. HTML tag and
     attribute names are case-insensitive (the tokenizer lowercases
     them), so the scan runs over a lowercased copy — otherwise
     uppercase crawl markup (``<TABLE CLASS="infobox">``, ``ITEMSCOPE``)
     would be silently dropped. On the lowered text the markers are
-    necessary conditions by construction (attribute name / script type
-    / element name), so the fast path can never drop a view — at worst
-    a marker in inert text costs one full parse.
+    necessary conditions by construction: a table only yields rows if
+    its class list contains the literal token ``infobox`` (which the
+    handler matches case-SENSITIVELY, per the documented semantics), so
+    ``infobox`` — not the far more common ``<table`` — gates that view;
+    the fast path can never drop a view — at worst a marker in inert
+    text costs one full parse.
     """
     if html is None:
         return _empty_views()
@@ -406,7 +409,7 @@ def parse_structdata_py(html: bytes | str | None) -> dict:
     if (
         "itemscope" not in lowered
         and "ld+json" not in lowered
-        and "<table" not in lowered
+        and "infobox" not in lowered
     ):
         return _empty_views()
     parser = _run_parser(html)

@@ -81,9 +81,17 @@ _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
 )
 _NEEDLES = (
-    "<script", "<style", "<noscript", "<template", "<svg", "<table",
-    "<!", "<?", "itemscope",
+    "<script", "<style", "<noscript", "<template", "<svg",
+    "<!", "<?", "itemscope", "infobox",
 )
+# "<table" is deliberately NOT a needle: a table only matters if its
+# class list carries the literal token "infobox", and the "infobox"
+# literal needle finds that inside the <table ...> tag itself (backward
+# classification below). Plain tables in idle state are exact no-ops:
+# they would join the table stack with idx None and emit nothing, and
+# every idx-None interaction (cells ignored, pop by depth) is
+# stack-top-relative, so an untracked plain table cannot change which
+# rows an infobox emits (tag-soup cases fuzz-verified).
 
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # searched over the lowered copy, so no IGNORECASE needed

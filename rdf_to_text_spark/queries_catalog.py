@@ -2243,6 +2243,65 @@ def eval_meteor_default_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "dedup_cluster_mirrors",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster AS BIGINT) AS cluster_id,
+       CAST(2 AS BIGINT) AS cluster_size
+FROM (
+  SELECT doc_id, doc_id AS cluster FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id FROM documents WHERE doc_id % 7 = 3
+)""",
+)
+def dedup_cluster_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING over a real crawl corpus — the
+    training-data stage after pair detection: WARC read → snapshot
+    compaction → rich text → MinHash-LSH candidates → exact n-gram
+    Jaccard verify (≥ 0.75) → connected components → (doc, cluster,
+    size). Input is the session-cached two-generation WARC fixture
+    (shared with kg_e2e_crawl): every 7th page has a mirror-host
+    near-dup capture (one extra footer line, measured j ∈ [0.86,
+    0.95]; max cross-doc j = 0.67, so the 0.75 threshold isolates
+    mirrors exactly — tests/test_e2e_crawl.py). Oracle is closed-form
+    doc_id arithmetic: cluster = {d, d + 10^9} for d % 7 == 3, size 2,
+    labeled by the min member — a wrong candidate set, a verify leak,
+    or a CC merge error all shift the hash.
+
+    Scale shape: narrow Arrow maps (WARC parse, text extract), the
+    bucketed minhash ladder (per-bucket cap — no quadratic bucket),
+    verify join touching candidates only, star-contraction CC with the
+    hybrid local finish."""
+    from .functions.htmltext import extract_rich_udf
+    from .operators import dedup
+    from .operators.canonicalize import connected_components
+    from .operators.webtext import latest_snapshot
+    from .sources.warc import read_warc
+
+    warc_dir = _e2e_warc_dir(spark, sf_dir)
+    got = latest_snapshot(read_warc(spark, f"{warc_dir}/*.warc.gz")).drop(
+        "n_versions"
+    )
+    pages = got.withColumn(
+        "doc_id", F.regexp_extract("url", r"/(\d{8,})$", 1).cast("long")
+    )
+    texts = pages.select("doc_id", extract_rich_udf("html").alias("text")).persist()
+    _CLEANUPS.append(texts)
+    cands = dedup.minhash_lsh_candidates_md5(texts, cleanup=_CLEANUPS)
+    pairs = (
+        dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3)
+        .filter(F.col("jaccard") >= 0.75)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+@_register_extra(
     "kg_triple_reorder",
     f"""WITH {fixtures.gold_cte()}
 SELECT pred || '|' || subj || '|' || obj AS pso FROM gold""",

@@ -139,7 +139,7 @@ def test_untame_falls_back_to_full_parse(html):
 
 _soup = st.text(
     alphabet=st.sampled_from(
-        list("<>/=\"' abcdeitemscopeitemproptablescriptldjson&#;!-?")
+        list("<>/=\"' abcdeitemscopeitemproptablescriptldjsoninfobox&#;!-?")
     ),
     max_size=220,
 )
@@ -218,3 +218,29 @@ def test_htmltext_kernel_flag_pins_full_walk(monkeypatch):
     want = htmltext.parse_all_py(html)
     monkeypatch.setattr(htmltext, "KERNEL", "full")
     assert htmltext.parse_all_py(html) == want
+
+
+def test_plain_tables_skip_but_infobox_still_found():
+    # '<table' is not a needle: plain tables are idle no-ops; the
+    # 'infobox' class literal (any tag-name case) re-enters event mode.
+    html = (
+        "<table><tr><th>plain</th><td>ignored</td></tr></table>" * 20
+        + '<TABLE CLASS="infobox"><tr><th>K</th><td>V</td></tr></TABLE>'
+        + "<table class='data'><tr><th>D</th><td>x</td></tr></table>"
+    )
+    fast = _fast(html)
+    assert fast is not None and fast == _full(html)
+    assert fast["t"] == [[0, 0, "K", "V"]]
+
+
+def test_unclosed_plain_table_shadowing_infobox_equivalence():
+    # tag soup: an unclosed plain table open when the infobox starts —
+    # the untracked outer table must not shift infobox rows or pops.
+    html = (
+        "<table><tr><td>soup"  # unclosed plain table + unclosed row
+        '<table class="infobox"><tr><th>A</th><td>1</td></tr></table>'
+        "</table></table>"
+        '<div itemscope itemid="X"><span itemprop="k">v</span></div>'
+    )
+    fast = _fast(html)
+    assert fast is not None and fast == _full(html)
