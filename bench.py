@@ -250,6 +250,14 @@ def main() -> None:
         }
         if brute:
             extras["ann_lsh_recall"] = round(len(brute & lsh) / len(brute), 3)
+        mp = {
+            (r.query_id, r.neighbor_id)
+            for r in CATALOG["ann_cosine_lsh_multiprobe"](spark, SF_DIR).collect()
+        }
+        if brute:
+            extras["ann_lsh_multiprobe_recall"] = round(
+                len(brute & mp) / len(brute), 3
+            )
         # recall of the APPROXIMATE multi-probe path (the catalog's
         # ann_cosine_ivf is the exact degenerate config by design)
         ivf = {

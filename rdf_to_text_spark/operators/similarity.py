@@ -251,6 +251,7 @@ def cosine_topk_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH candidates, exact cosine re-rank.
 
@@ -258,11 +259,32 @@ def cosine_topk_lsh(
     before the (expensive) exact scoring. Recall vs brute force is
     measured in bench.py (`ann_lsh_recall`); n_planes/n_tables trade
     candidate volume against recall.
+
+    ``hamming_probes`` > 0 enables MULTIPROBE on the query side: each
+    query additionally probes the buckets obtained by flipping its
+    first ``hamming_probes`` signature bits (the Hamming-1 ball —
+    near-boundary neighbors land there with the highest probability,
+    the standard multiprobe observation). Only the QUERY fan-out grows
+    (×(1+probes), queries are the broadcast-small side); the corpus
+    index is untouched — the cheap way to buy recall without more
+    tables or a bigger index.
     """
     cb = hyperplane_buckets(corpus, n_planes, dim, n_tables=n_tables,
                             id_col=id_col, vec_col=vec_col)
     qb = hyperplane_buckets(queries, n_planes, dim, n_tables=n_tables,
                             id_col=id_col, vec_col=vec_col)
+    if hamming_probes:
+        flips = [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(hamming_probes, n_planes))
+        ]
+        qb = qb.select(
+            id_col,
+            "table",
+            F.explode(F.array_union(F.array(F.col("bucket")), F.array(*flips))).alias(
+                "bucket"
+            ),
+        )
     cand = (
         cb.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(qb.withColumnRenamed(id_col, "query_id")), ["table", "bucket"])

@@ -1512,6 +1512,19 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@_register_extra("ann_cosine_lsh_multiprobe")  # rows-only: approximate by design
+def ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: each query also probes its Hamming-1
+    neighbor buckets (all 4 signature-bit flips) — query-side fan-out
+    only, same corpus index; recall vs brute force measured in bench
+    (`ann_lsh_multiprobe_recall`, expected above the single-probe
+    `ann_lsh_recall`)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, hamming_probes=4
+    )
+
+
 @_register_extra(
     "ann_cosine_lsh_total",
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

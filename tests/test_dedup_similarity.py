@@ -262,3 +262,23 @@ def test_ivf_cells_partition_pruning(spark, tmp_path):
     assert got_cells <= {1, 3}
     # and the whole corpus round-trips through the layout
     assert cells.count() == emb.count()
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    # Hamming-1 multiprobe may only ADD candidates, so its top-k recall
+    # vs brute force is >= the single-probe path's on any corpus.
+    from rdf_to_text_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    brute = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in cosine_topk_lsh(emb, q, k=5).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_lsh(emb, q, k=5, hamming_probes=4).collect()}
+    r1 = len(brute & single) / len(brute)
+    r2 = len(brute & multi) / len(brute)
+    assert r2 >= r1
+    assert r2 > 0.8  # sanity floor on the fixture corpus
