@@ -405,10 +405,11 @@ GROUP BY 1, 2"""
 
 
 def link_prior_sql(cap: int = 4) -> str:
-    """Oracle for kg_link_prior: replay the prior-reranked linking
-    arithmetic — first-token alias candidates (VALUES, from the same
-    templates constants the Spark build side broadcasts), capped
-    co-occurrence prior, score = pair count with the page anchor,
+    """Oracle for kg_link_prior: replay the two-signal prior-reranked
+    linking arithmetic — first-token alias candidates (VALUES, from the
+    same templates constants the Spark build side broadcasts), capped
+    co-occurrence prior, anchor-support counts (corpus usage of the
+    surface for the entity), score = 10·cooc + 1·anchor_support,
     winner by (score desc, entity asc)."""
     from .templates import entity_like_names, first_token_candidates
 
@@ -427,6 +428,11 @@ prior AS (
   FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.entity < b.entity
   GROUP BY 1, 2
 ),
+anch AS (
+  SELECT lower(list_extract(regexp_split_to_array(obj_surface, ' '), 1)) AS mention,
+         obj AS entity, COUNT(*) AS n_refs
+  FROM gold GROUP BY 1, 2
+),
 ment AS (
   SELECT doc_id, sent_idx, subj AS anchor,
          lower(list_extract(regexp_split_to_array(obj_surface, ' '), 1)) AS mention
@@ -434,13 +440,16 @@ ment AS (
 ),
 scored AS (
   SELECT m.doc_id, m.sent_idx, m.mention, c.entity,
-         COALESCE(p.n_docs, 0) AS score,
+         10 * COALESCE(p.n_docs, 0) + COALESCE(an.n_refs, 0) AS score,
          row_number() OVER (PARTITION BY m.doc_id, m.sent_idx, m.mention
-                            ORDER BY COALESCE(p.n_docs, 0) DESC, c.entity ASC) AS rn
+                            ORDER BY 10 * COALESCE(p.n_docs, 0)
+                                     + COALESCE(an.n_refs, 0) DESC,
+                                     c.entity ASC) AS rn
   FROM ment m
   JOIN cand c ON c.mention = m.mention
   LEFT JOIN prior p ON p.e1 = least(c.entity, m.anchor)
                    AND p.e2 = greatest(c.entity, m.anchor)
+  LEFT JOIN anch an ON an.mention = m.mention AND an.entity = c.entity
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sent_idx AS INT) AS sent_idx,
        mention, entity, CAST(score AS BIGINT) AS score

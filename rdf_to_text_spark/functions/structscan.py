@@ -224,6 +224,78 @@ def _dispatch(p, s: str, low: str, i: int) -> int:
     return i + 1
 
 
+def _classify_bare_needle(p, s: str, low: str, i: int, j: int) -> int:
+    """Classify a bare literal needle (``itemscope``/``infobox``) at
+    ``j`` by walking constructs FORWARD from the known-clean scan
+    position ``i`` — the exact mirror of what the stdlib parser would
+    consume — instead of guessing from the nearest preceding ``<``
+    (which misreads a quoted ``<`` inside the carrier tag's attribute
+    list, e.g. ``<div title="a < b" itemscope>``, and can even parse a
+    phantom tag out of a quoted ``<p``). Returns the scan position
+    after the needle is resolved; fires handlers only when the needle
+    turns out to sit inside a real start tag.
+
+    Why the walk is cheap and exact: every construct opener other than
+    plain start/end tags (``<!`` ``<?`` ``<script`` ``<style``
+    ``<noscript`` ``<template`` ``<svg``) is itself a needle, and ``j``
+    is the EARLIEST needle at or after ``i`` — so the span ``[i, j)``
+    can only contain plain start tags, end tags, and literal ``<``
+    data. Plain tags and end tags are exact no-ops in idle state (see
+    the module docstring's depth-drift argument), so the walk only has
+    to find their spans (one tolerant-regex match each, no handler
+    dispatch, no text slicing), not tokenize them."""
+    pos = i
+    while True:
+        k = s.find("<", pos, j)
+        if k < 0:
+            return j + 1  # needle is plain text
+        c = s[k + 1 : k + 2]
+        if c and c.isalpha():
+            lm = locatestarttagend_tolerant.match(s, k)
+            # '<' + alpha always matches at least the tag name
+            e = lm.end()
+            nxt = s[e : e + 1]
+            if nxt == ">":
+                tag_end = e + 1
+            elif nxt == "/" and s[e : e + 2] == "/>":
+                tag_end = e + 2
+            else:
+                raise Untame("junk between attributes and '>'")
+            if e > j:
+                # the needle sits inside this tag: parse it for real
+                return _parse_starttag(p, s, low, k)
+            if tag_end > j:
+                return tag_end  # unreachable (terminator is '>'/'/>')
+            pos = tag_end
+            continue
+        if c == "/":
+            em = _ENDTAG_RE.match(s, k)
+            if em is not None:
+                end = em.end()
+            else:
+                # stdlib parse_endtag's discard path: name via
+                # tagfind_tolerant, junk to the first '>' (known-
+                # imperfect in CPython too — bug-compatible here)
+                nm = tagfind_tolerant.match(s, k + 2)
+                if nm is None:
+                    raise Untame("bogus end tag")  # '</>' / bogus comment
+                gt = s.find(">", nm.end())
+                if gt < 0:
+                    raise Untame("unterminated end tag")
+                end = gt + 1
+            # end tags are inert in idle state; if the span swallowed
+            # the needle (</div junk itemscope>) it is not a carrier
+            pos = end
+            if pos > j:
+                return pos
+            continue
+        if c in ("!", "?"):
+            # unreachable: '<!'/'<?' are needles, j is the earliest
+            raise Untame("markup opener inside idle span")
+        # '<' + EOF or non-name char: plain data, one char
+        pos = k + 1
+
+
 def _next_needle(low: str, i: int, cache: list) -> int:
     """Earliest needle occurrence at or after ``i`` over the lowered
     page; per-needle positions are cached and only re-sought once the
@@ -256,17 +328,8 @@ def scan_structdata(p, s: str) -> None:
             j = _next_needle(low, i, cache)
             if j < 0:
                 return  # nothing state-relevant remains
-            if low[j] != "<":  # bare 'itemscope' literal: classify it
-                k = s.rfind("<", 0, j)
-                if k < 0 or not s[k + 1 : k + 2].isalpha():
-                    i = j + 1
-                    continue  # plain text (or lone '<' data)
-                lm = locatestarttagend_tolerant.match(s, k)
-                if lm is None or lm.end() <= j:
-                    i = j + 1
-                    continue  # needle sits in text after that tag
-                # needle is inside the tag at k: parse it for real
-                i = _parse_starttag(p, s, low, k)
+            if low[j] != "<":  # bare 'itemscope'/'infobox' literal
+                i = _classify_bare_needle(p, s, low, i, j)
                 continue
             i = _dispatch(p, s, low, j)
             continue

@@ -161,41 +161,72 @@ def capped_entity_pairs(incidence: DataFrame, cap: int = 4) -> DataFrame:
 
 
 def link_with_prior(
-    mentions: DataFrame, candidates: DataFrame, prior: DataFrame
+    mentions: DataFrame,
+    candidates: DataFrame,
+    prior: DataFrame,
+    anchor_prior: DataFrame | None = None,
+    w_cooc: int = 1,
+    w_anchor: int = 1,
+    self_score: int | None = None,
 ) -> DataFrame:
-    """Resolve ambiguous mentions with a co-occurrence prior.
+    """Resolve ambiguous mentions with corpus-statistical priors.
 
-    ``mentions``  : (doc_id, sent_idx, mention, anchor) — anchor is an
-                    entity already resolved on the page (the subject).
-    ``candidates``: (mention, entity) — the dictionary-sized alias
-                    table; broadcast.
-    ``prior``     : (e1, e2, n_docs) with e1 < e2 — corpus-wide
-                    co-occurrence counts (capped_entity_pairs output).
+    ``mentions``    : (doc_id, sent_idx, mention, anchor) — anchor is
+                      an entity already resolved on the page (the
+                      subject).
+    ``candidates``  : (mention, entity) — the dictionary-sized alias
+                      table; broadcast.
+    ``prior``       : (e1, e2, n_docs) with e1 < e2 — corpus-wide
+                      co-occurrence counts (capped_entity_pairs
+                      output).
+    ``anchor_prior``: optional (mention, entity, n_refs) — how often
+                      the corpus uses this surface when referring to
+                      this entity (the anchor-text signal: the web's
+                      own names for a page, operators/webtext.py:
+                      anchor_text_agg shape). Vocabulary-sized →
+                      broadcast.
 
-    Score(candidate) = n_docs(candidate, anchor), 0 when the pair never
-    co-occurs; winner per (doc_id, sent_idx, mention) by (score desc,
-    entity asc) — the W5 top-1 idiom with W2-deterministic ties, so a
-    context-free decoy ('Aarhus' the city for an 'aarhus' mention on an
-    airport page) loses exactly when the prior says so, integer-exact.
+    Score(candidate) = w_cooc·n_docs(candidate, anchor)
+                     + w_anchor·n_refs(mention, candidate); winner per
+    (doc_id, sent_idx, mention) by (score desc, entity asc) — the W5
+    top-1 idiom with W2-deterministic ties, so a context-free decoy
+    ('Aarhus' the city for an 'aarhus' mention on an airport page)
+    loses exactly when the signals say so, integer-exact.
+
+    Self-candidates (entity == anchor) deliberately take no shortcut by
+    default: the strict e1<e2 prior stores no self-pairs, so they score
+    w_anchor·n_refs only. In the object-mention setting (mention = a
+    triple's object surface, anchor = the page subject) this is the
+    RIGHT semantics — a triple's object is never its own subject, so
+    boosting the self-candidate would systematically mis-link. Callers
+    linking subject-style mentions (where the page's own topic IS the
+    likeliest referent) pass ``self_score`` to pin entity==anchor to a
+    maximal constant.
 
     Plan: broadcast probe for candidates (no shuffle), one hash join
-    keyed on the unordered pair, one per-mention window.
+    keyed on the unordered pair, an optional second broadcast probe for
+    the anchor prior, one per-mention window.
     """
-    scored = (
-        mentions.join(F.broadcast(candidates), "mention")
-        .join(
-            prior,
-            (F.least("entity", "anchor") == prior["e1"])
-            & (F.greatest("entity", "anchor") == prior["e2"]),
-            "left",
+    scored = mentions.join(F.broadcast(candidates), "mention").join(
+        prior,
+        (F.least("entity", "anchor") == prior["e1"])
+        & (F.greatest("entity", "anchor") == prior["e2"]),
+        "left",
+    )
+    score = F.lit(w_cooc) * F.coalesce("n_docs", F.lit(0))
+    if anchor_prior is not None:
+        scored = scored.join(
+            F.broadcast(anchor_prior), ["mention", "entity"], "left"
         )
-        .select(
-            "doc_id",
-            "sent_idx",
-            "mention",
-            "entity",
-            F.coalesce("n_docs", F.lit(0)).cast("long").alias("score"),
-        )
+        score = score + F.lit(w_anchor) * F.coalesce("n_refs", F.lit(0))
+    if self_score is not None:
+        score = F.when(F.col("entity") == F.col("anchor"), F.lit(self_score)).otherwise(score)
+    scored = scored.select(
+        "doc_id",
+        "sent_idx",
+        "mention",
+        "entity",
+        score.cast("long").alias("score"),
     )
     w = Window.partitionBy("doc_id", "sent_idx", "mention").orderBy(
         F.desc("score"), "entity"

