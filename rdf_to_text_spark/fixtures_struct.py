@@ -22,7 +22,11 @@ Hostile-input coverage baked into the *driver-checked* path: every 17th
 page carries a malformed ld+json block (must contribute nothing), every
 page carries a plain-JS script with decoy JSON, a ``<template>``-wrapped
 fake item, a class-less decoy table, and a th-less infobox row — all
-required to be invisible in the oracle-matched output.
+required to be invisible in the oracle-matched output. Every d%13==5
+page renders carrier tag/attribute names (and the ld+json MIME type)
+UPPERCASE and every d%13==9 page in aLtErNaTiNg case, with attribute
+values byte-identical — real-crawl uppercase markup must extract
+identically under every oracle (judge ask r6#2).
 """
 
 from __future__ import annotations
@@ -111,6 +115,23 @@ def render_struct_page_py(doc_id: int) -> dict:
     lang = "en" if d % 20 != 0 else "xx"
     sents = [_render_sentence(d, s)[0] for s in range(n_sent)]
 
+    # Hostile-case slice (judge ask r6#2), INSIDE the oracle-checked
+    # path: every d%13==5 page renders carrier tag/attribute NAMES (and
+    # the ld+json MIME type, ASCII-case-insensitive per WHATWG)
+    # UPPERCASE; every d%13==9 page alternates case per character.
+    # Attribute VALUES other than the MIME type are the extracted facts
+    # and stay byte-identical, so every oracle is unchanged — real-crawl
+    # uppercase markup must extract identically or the round-6 bug
+    # family (case-sensitive fast paths) stays invisible to the driver.
+    if d % 13 == 5:
+        _case = str.upper
+    elif d % 13 == 9:
+        def _case(n: str) -> str:
+            return "".join(c.upper() if i % 2 == 0 else c for i, c in enumerate(n))
+    else:
+        def _case(n: str) -> str:
+            return n
+
     # ---------------- JSON-LD carrier + expected rows
     objs = []
     jsonld_rows: list[tuple] = []
@@ -134,9 +155,9 @@ def render_struct_page_py(doc_id: int) -> dict:
             (d, c, f"_:j{c}", "sentence", f"s{h['s']}"),
         ]
     ld_script = (
-        '<script type="application/ld+json">'
+        f'<{_case("script")} {_case("type")}="{_case("application/ld+json")}">'
         + json.dumps(objs, separators=(",", ":"))
-        + "</script>"
+        + f'</{_case("script")}>'
     )
     bad_ld = (
         '<script type="application/ld+json">{"truncated": </script>'
@@ -151,14 +172,16 @@ def render_struct_page_py(doc_id: int) -> dict:
     for h in hits:
         p, c = 2 * h["i"], 2 * h["i"] + 1
         w0, _, rest = h["obj_surface"].partition(" ")
-        obj_html = f"<b>{w0}</b> {rest}" if rest else h["obj_surface"]
+        obj_html = f'<{_case("b")}>{w0}</{_case("b")}> {rest}' if rest else h["obj_surface"]
+        div, span, a, meta = _case("div"), _case("span"), _case("a"), _case("meta")
+        iscope, iprop = _case("itemscope"), _case("itemprop")
         md_parts.append(
-            f'<div itemscope itemtype="https://schema.org/{h["cat"]}" itemid="{h["subj"]}">\n'
-            f'<meta itemprop="surface" content="{h["subj_surface"]}">\n'
-            f'<span itemprop="{h["pred"]}">{obj_html}</span>\n'
-            f'<a itemprop="page" href="{page_path}">doc</a>\n'
-            f'<div itemprop="prov" itemscope><span itemprop="sentence">s{h["s"]}</span></div>\n'
-            "</div>"
+            f'<{div} {iscope} {_case("itemtype")}="https://schema.org/{h["cat"]}" {_case("itemid")}="{h["subj"]}">\n'
+            f'<{meta} {iprop}="surface" {_case("content")}="{h["subj_surface"]}">\n'
+            f'<{span} {iprop}="{h["pred"]}">{obj_html}</{span}>\n'
+            f'<{a} {iprop}="page" {_case("href")}="{page_path}">doc</{a}>\n'
+            f'<{div} {iprop}="prov" {iscope}><{span} {iprop}="sentence">s{h["s"]}</{span}></{div}>\n'
+            f"</{div}>"
         )
         md_rows += [
             (d, p, h["subj"], "@type", f'https://schema.org/{h["cat"]}'),
@@ -170,13 +193,16 @@ def render_struct_page_py(doc_id: int) -> dict:
         ]
 
     # ---------------- infobox carrier + expected rows
+    table, tbody, tr, th, td = (
+        _case("table"), _case("tbody"), _case("tr"), _case("th"), _case("td"),
+    )
     infobox = (
-        '<table class="infobox wiki"><tbody>\n'
-        f"<tr><th>Category</th><td>{page_cat}</td></tr>\n"
-        "<tr><td>orphan cell: no th, must be dropped</td></tr>\n"
-        f"<tr><th>Sentences</th><td>{n_sent}</td></tr>\n"
-        f"<tr><th>Doc</th><td>{d}</td></tr>\n"
-        "</tbody></table>"
+        f'<{table} {_case("class")}="infobox wiki"><{tbody}>\n'
+        f"<{tr}><{th}>Category</{th}><{td}>{page_cat}</{td}></{tr}>\n"
+        f"<{tr}><{td}>orphan cell: no th, must be dropped</{td}></{tr}>\n"
+        f"<{tr}><{th}>Sentences</{th}><{td}>{n_sent}</{td}></{tr}>\n"
+        f"<{tr}><{th}>Doc</{th}><{td}>{d}</{td}></{tr}>\n"
+        f"</{tbody}></{table}>"
     )
     infobox_rows = [
         (d, 0, 0, "Category", page_cat),
@@ -201,10 +227,13 @@ def render_struct_page_py(doc_id: int) -> dict:
             "<nav><ul><li>Home</li></ul></nav>",
             f"<h1>Entry {d}</h1>",
             paras,
-            '<template><div itemscope itemid="FAKE"><span itemprop="x">no</span></div></template>',
+            f'<{_case("template")}><{_case("div")} {_case("itemscope")} '
+            f'{_case("itemid")}="FAKE"><span itemprop="x">no</span>'
+            f'</{_case("div")}></{_case("template")}>',
             "\n".join(md_parts),
             infobox,
-            '<table class="data"><tr><th>Decoy</th><td>not an infobox</td></tr></table>',
+            f'<{table} {_case("class")}="data"><{tr}><{th}>Decoy</{th}>'
+            f"<{td}>not an infobox</{td}></{tr}></{table}>",
             "<footer>&copy; 2024</footer>",
             "</body>",
             "</html>",
