@@ -88,30 +88,49 @@ def main() -> None:
         )
         if name in CATALOG
     ]
-    # best-of-3 with a separately-reported steady state: this sandbox has
-    # heavy noisy-neighbor CPU steal (identical runs vary 3x, BENCH.md
-    # control experiments) AND a cold first run that pays JVM/Python-
-    # worker/scan warmup. `queries`/`value` stay min-of-all-runs (the
-    # round-over-round comparable number); `queries_steady`/`value_steady`
-    # exclude the cold run (min of runs 2..3) so capability comparisons
-    # aren't polluted by warmup landing on a stolen window.
+    # Interleaved median-of-5 (steadiness protocol, r7): the headline
+    # list runs as FIVE time-interleaved passes — each pass runs every
+    # query once, in order — instead of per-query back-to-back repeats,
+    # so a stolen CPU window lands on one PASS (machine-readable in
+    # `steal_per_rep`) rather than on all repeats of one query, and the
+    # per-query median-of-5 absorbs it. This sandbox has heavy noisy-
+    # neighbor steal (identical runs vary 3x, BENCH.md controls) AND a
+    # cold first pass (JVM/Python-worker/scan warmup). `queries`/`value`
+    # stay min-of-all-runs (the round-over-round comparable number);
+    # `queries_steady` excludes the cold pass; `queries_median5` /
+    # `value_median5` are the steal-robust steadiness read.
+    import statistics
+
     steady: dict[str, float] = {}
-    for name in headline:
-        fn = CATALOG[name]
-        runs = []
-        for _ in range(3):
+    all_runs: dict[str, list[float]] = {name: [] for name in headline}
+    steal_per_rep: list[float] = []
+    for _rep in range(5):
+        rep0 = _cpu_stat()
+        for name in headline:
             t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.count()
-            runs.append(time.time() - t0)
-            # repeated invocations each persist fresh rank/signature
-            # caches; release them once materialized so best-of loops
-            # don't accumulate executor memory
+            CATALOG[name](spark, SF_DIR).count()
+            all_runs[name].append(time.time() - t0)
+            # each invocation persists fresh rank/signature caches;
+            # release them once materialized so passes don't accumulate
+            # executor memory
             queries_catalog.release_caches()
+        rep1 = _cpu_stat()
+        if rep0 and rep1 and rep1[1] > rep0[1]:
+            steal_per_rep.append(
+                round((rep1[0] - rep0[0]) / (rep1[1] - rep0[1]), 4)
+            )
+    for name, runs in all_runs.items():
         timings[name] = round(min(runs), 3)
         steady[name] = round(min(runs[1:]), 3)
     extras["queries_steady"] = steady
     extras["value_steady"] = round(sum(steady.values()), 3)
+    extras["queries_median5"] = {
+        n: round(statistics.median(r), 3) for n, r in all_runs.items()
+    }
+    extras["value_median5"] = round(
+        sum(statistics.median(r) for r in all_runs.values()), 3
+    )
+    extras["steal_per_rep"] = steal_per_rep
 
     # Round-3/4 additions, timed separately (kept OUT of the headline
     # list and the total so `value` stays comparable across rounds).
@@ -236,6 +255,12 @@ def main() -> None:
         ),
         # reuses the kg_e2e_crawl WARC cache; run 2 is the steady number
         {"dedup_cluster_mirrors": 2},
+    )
+    extras["r7_queries_sec"] = timed(
+        ("data_curation_e2e",),
+        # run 1 may render the shared WARC cache; run 2 is the steady
+        # curation-pipeline number
+        {"data_curation_e2e": 2},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force

@@ -34,11 +34,31 @@ from rdf_to_text_spark.session import get_spark
 
 n_docs, path, mode = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app_name="bench_setup", master="local[32]", shuffle_partitions=32)
-gen = (fixtures_web.rich_pages_from_range if mode == "rich"
-       else fixtures_struct.struct_pages_from_range
-       if mode in ("struct", "struct_counts")
-       else fixtures.pages_from_range)
-gen(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
+if mode == "link_skew":
+    # Zipf-head anchor fixture (judge ask r6#4): HALF the mentions sit
+    # on pages anchored to one head entity ('every page linking to
+    # United States'), and those same rows share one hot mention
+    # surface — so the prior join's unordered pair key concentrates on
+    # the (m0 candidate, United_States) keys. AQE skew-join must split
+    # them; this table is the probe side at n_docs mentions.
+    from pyspark.sql import functions as F
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.when(F.col("id") % 2 == 0, F.lit("m0"))
+         .otherwise(F.concat(F.lit("m"), (F.col("id") % 50).cast("string")))
+         .alias("mention"),
+        F.when(F.col("id") % 2 == 0, F.lit("United_States"))
+         .otherwise(F.concat(F.lit("E"), (F.col("id") % 5000).cast("string")))
+         .alias("anchor"),
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+else:
+    gen = (fixtures_web.rich_pages_from_range if mode == "rich"
+           else fixtures_struct.struct_pages_from_range
+           if mode in ("struct", "struct_counts")
+           else fixtures.pages_from_range)
+    gen(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
 spark.stop()
 """
 
@@ -66,7 +86,7 @@ def materialize_pages(n_docs: int, mode: str = "plain") -> str:
 
 
 _WORKER = """
-import json, sys, time
+import json, sys, time, zlib
 from rdf_to_text_spark.pipeline import extract_pipeline
 from rdf_to_text_spark.operators.structdata import structdata_counts, structdata_facts
 from rdf_to_text_spark.operators.webtext import extract_triples_from_rich_html
@@ -76,10 +96,36 @@ cpus, pages_path, n_docs, mode = (
     int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4])
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
 pages = spark.read.parquet(pages_path)
-job = ((lambda df: extract_triples_from_rich_html(df)) if mode == "rich"
-       else (lambda df: structdata_facts(df)) if mode == "struct"
-       else (lambda df: structdata_counts(df)) if mode == "struct_counts"
-       else (lambda df: extract_pipeline(df, use_html=True)))
+if mode == "link_skew":
+    # prove the prior join under anchor skew WITHOUT the broadcast
+    # escape hatch: at corpus scale the pair prior outgrows the
+    # broadcast threshold, so the shuffle join + AQE skew split is the
+    # real path (candidates keep their explicit broadcast hint)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from rdf_to_text_spark.operators.linking import link_with_prior
+
+    ents = [f"m{k}_c{j}" for k in range(50) for j in range(4)]
+    det = lambda *xs: zlib.crc32("|".join(xs).encode()) % 7 + 1
+    cands = spark.createDataFrame(
+        [(f"m{k}", f"m{k}_c{j}") for k in range(50) for j in range(4)],
+        "mention string, entity string")
+    prior_rows = []
+    for c in ents:
+        for a in ["United_States"] + [f"E{i}" for i in range(0, 5000, 20)]:
+            e1, e2 = sorted((c, a))
+            prior_rows.append((e1, e2, det(c, a)))
+    prior = spark.createDataFrame(prior_rows, "e1 string, e2 string, n_docs long")
+    anch = spark.createDataFrame(
+        [(f"m{k}", f"m{k}_c{j}", det("a", f"m{k}", str(j)))
+         for k in range(50) for j in range(4)],
+        "mention string, entity string, n_refs long")
+    job = lambda df: link_with_prior(df, cands, prior,
+                                     anchor_prior=anch, w_cooc=10, w_anchor=1)
+else:
+    job = ((lambda df: extract_triples_from_rich_html(df)) if mode == "rich"
+           else (lambda df: structdata_facts(df)) if mode == "struct"
+           else (lambda df: structdata_counts(df)) if mode == "struct_counts"
+           else (lambda df: extract_pipeline(df, use_html=True)))
 # warmup touches EVERY partition so all Python workers fork+import
 # outside the measured window (sample keeps the work small)
 job(pages.sample(0.02, seed=1)).count()
@@ -121,10 +167,11 @@ def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--rich", "--struct", "--struct-counts")]
+            if a not in ("--rich", "--struct", "--struct-counts", "--link-skew")]
     mode = ("rich" if "--rich" in sys.argv[1:]
             else "struct_counts" if "--struct-counts" in sys.argv[1:]
-            else "struct" if "--struct" in sys.argv[1:] else "plain")
+            else "struct" if "--struct" in sys.argv[1:]
+            else "link_skew" if "--link-skew" in sys.argv[1:] else "plain")
     n_docs = int(args[0]) if args else 2_000_000
     pages_path = materialize_pages(n_docs, mode)
     r8 = run_at(8, pages_path, n_docs, mode)
@@ -146,6 +193,10 @@ def main() -> None:
         if mode == "struct"
         else "parquet scan → same parse, per-page COUNTS out (output-bandwidth control)"
         if mode == "struct_counts"
+        else "Zipf-head-anchor link_with_prior: broadcast cand probe → "
+             "shuffle pair-prior join (autoBroadcast OFF, AQE skew split) → "
+             "per-mention window; 50% of mentions share one (surface, anchor)"
+        if mode == "link_skew"
         else "parquet scan → fused extract"
     )
     with open("BENCH.md", "a") as f:

@@ -726,3 +726,98 @@ h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS hub FROM documents),
 {",".join(rounds)}
 SELECT h.doc_id, h.hub, a.auth
 FROM {prev_h} h JOIN {prev_a} a ON a.doc_id = h.doc_id"""
+
+
+def data_curation_sql(
+    min_tokens: int = 30,
+    long_bpe: int = 45,
+    budget: int = 1000,
+    mirror_base: int = 10**9,
+) -> str:
+    """Oracle for data_curation_e2e: the LLM corpus-curation capstone
+    replayed end-to-end from doc_id arithmetic — rebuilt page text
+    (rich_text_sql expression), mirror captures (d % 7 == 3, id
+    d + mirror_base, one extra footer line), lang gate (xx pages are
+    d % 20 == 0 by construction), Gopher-style quality gate with a
+    ``min_tokens`` floor, near-dup clustering keeping the min-id
+    representative (a mirror survives only when its original was
+    quality-gated away — the +3-token footer can carry it past the
+    floor), BPE-ish token counts, md5-slot stratified sampling
+    (long ≥ ``long_bpe`` BPE tokens: 50 %; short: 10 %), and
+    token-``budget`` shard packing in doc_id order."""
+    from .operators.text_analysis import BPE_ISH_PATTERN, EN_STOPWORDS
+
+    nl = "chr(10)"
+    footer = _FOOTER_TEXT.replace("'", "''")
+    bpe = BPE_ISH_PATTERN.replace("'", "''")
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""WITH {_web_cte()},
+body AS (
+  SELECT doc_id, string_agg(txt, {nl} ORDER BY s) AS sents
+  FROM sent_txt GROUP BY doc_id
+),
+relbody AS (
+  SELECT doc_id,
+         string_agg('Doc ' || CAST(j AS VARCHAR), {nl} ORDER BY k) AS rels
+  FROM rel GROUP BY doc_id
+),
+fulltext AS (
+  SELECT b.doc_id,
+         'Doc ' || CAST(b.doc_id AS VARCHAR) || ' & the ' || c.scat || ' page'
+           || {nl} || 'Home' || {nl} || 'About'
+           || {nl} || 'Entry ' || CAST(b.doc_id AS VARCHAR)
+           || {nl} || b.sents || {nl} || rb.rels || {nl} || '{footer}' AS text
+  FROM body b
+  JOIN dcat c ON c.doc_id = b.doc_id
+  JOIN relbody rb ON rb.doc_id = b.doc_id
+),
+cand AS (
+  SELECT doc_id, text FROM fulltext WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + {mirror_base}, text || {nl} || 'mirrored archive copy'
+  FROM fulltext WHERE doc_id % 7 = 3 AND doc_id % 20 <> 0
+),
+stats AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> list_contains([{sw}], x))) AS n_sw,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         len(list_filter(regexp_extract_all(text, '{bpe}', 0),
+             x -> trim(x) <> '')) AS n_bpe
+  FROM cand
+),
+gated AS (
+  SELECT * FROM stats
+  WHERE n_ws BETWEEN {min_tokens} AND 10000 AND 100 * n_sw >= n_ws
+    AND 2 * n_alpha >= n_nonspace
+),
+reps AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id < {mirror_base}
+     OR NOT EXISTS (SELECT 1 FROM gated o
+                    WHERE o.doc_id = g.doc_id - {mirror_base})
+),
+sampled AS (
+  SELECT doc_id, n_bpe,
+         CASE WHEN n_bpe >= {long_bpe} THEN 'long' ELSE 'short' END AS bucket,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS slot
+  FROM reps
+),
+kept AS (
+  SELECT doc_id, n_bpe, bucket FROM sampled
+  WHERE (bucket = 'long' AND slot < 50) OR (bucket = 'short' AND slot < 10)
+),
+packed AS (
+  SELECT doc_id, n_bpe, bucket,
+         SUM(n_bpe) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bpe AS INT) AS n_bpe_tokens,
+       bucket,
+       CAST((cum - n_bpe) // {budget} AS BIGINT) AS shard
+FROM packed"""
