@@ -34,7 +34,7 @@ from rdf_to_text_spark.session import get_spark
 
 n_docs, path, mode = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app_name="bench_setup", master="local[32]", shuffle_partitions=32)
-if mode == "link_skew":
+if mode in ("link_skew", "link_uniform"):
     # Zipf-head anchor fixture (judge ask r6#4): HALF the mentions sit
     # on pages anchored to one head entity ('every page linking to
     # United States'), and those same rows share one hot mention
@@ -42,13 +42,14 @@ if mode == "link_skew":
     # the (m0 candidate, United_States) keys. AQE skew-join must split
     # them; this table is the probe side at n_docs mentions.
     from pyspark.sql import functions as F
+    head = (F.col("id") % 2 == 0) if mode == "link_skew" else F.lit(False)
     df = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.lit(0).cast("int").alias("sent_idx"),
-        F.when(F.col("id") % 2 == 0, F.lit("m0"))
+        F.when(head, F.lit("m0"))
          .otherwise(F.concat(F.lit("m"), (F.col("id") % 50).cast("string")))
          .alias("mention"),
-        F.when(F.col("id") % 2 == 0, F.lit("United_States"))
+        F.when(head, F.lit("United_States"))
          .otherwise(F.concat(F.lit("E"), (F.col("id") % 5000).cast("string")))
          .alias("anchor"),
     )
@@ -96,7 +97,7 @@ cpus, pages_path, n_docs, mode = (
     int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4])
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
 pages = spark.read.parquet(pages_path)
-if mode == "link_skew":
+if mode in ("link_skew", "link_uniform"):
     # prove the prior join under anchor skew WITHOUT the broadcast
     # escape hatch: at corpus scale the pair prior outgrows the
     # broadcast threshold, so the shuffle join + AQE skew split is the
@@ -167,11 +168,12 @@ def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--rich", "--struct", "--struct-counts", "--link-skew")]
+            if a not in ("--rich", "--struct", "--struct-counts", "--link-skew", "--link-uniform")]
     mode = ("rich" if "--rich" in sys.argv[1:]
             else "struct_counts" if "--struct-counts" in sys.argv[1:]
             else "struct" if "--struct" in sys.argv[1:]
-            else "link_skew" if "--link-skew" in sys.argv[1:] else "plain")
+            else "link_skew" if "--link-skew" in sys.argv[1:]
+            else "link_uniform" if "--link-uniform" in sys.argv[1:] else "plain")
     n_docs = int(args[0]) if args else 2_000_000
     pages_path = materialize_pages(n_docs, mode)
     r8 = run_at(8, pages_path, n_docs, mode)
@@ -197,6 +199,9 @@ def main() -> None:
              "shuffle pair-prior join (autoBroadcast OFF, AQE skew split) → "
              "per-mention window; 50% of mentions share one (surface, anchor)"
         if mode == "link_skew"
+        else "uniform-anchor control for the link_with_prior skew window "
+             "(same size/shape, no Zipf head)"
+        if mode == "link_uniform"
         else "parquet scan → fused extract"
     )
     with open("BENCH.md", "a") as f:

@@ -195,10 +195,177 @@ def extract_text_rich_py(html: bytes | str | None) -> str:
 
 
 # Kernel selector, same contract as functions/structparse.KERNEL:
-# "scan" drives _TextExtractor with structscan.feed_events (the tame
-# event tokenizer — equivalence-or-fallback, differential-tested) and
-# re-runs the stdlib walk on any surprise; "full" pins the stdlib walk.
+# "scan" drives _TextExtractor with the FUSED tame tokenizer below
+# (equivalence-or-fallback, differential-tested) and re-runs the stdlib
+# walk on any surprise; "full" pins the stdlib walk.
 KERNEL = "scan"
+
+# Start tags whose ATTRIBUTES the extractor reads (href / name+content)
+# or whose parse has side machinery (skip-subtree gate, script/style
+# CDATA jump): these go through the full tolerant attr parse. Block
+# tags need only flush+stack (attrs ignored); every other tag
+# (b/i/em/span/strong/code/...) is a handler no-op.
+_NEEDS_ATTRS = _SKIP_TAGS | {"a", "meta"}
+_INTERESTING_END = _SKIP_TAGS | _BLOCK_TAGS | {"a"}
+
+
+def _fused_feed(p: _TextExtractor, s: str, low: str) -> None:
+    """Fused tokenizer+extractor drive of ``p`` over ``s`` (the
+    rich-extract kernel ceiling): identical final state to ``p.feed(s);
+    p.close()`` on any input it completes (differential fuzz + corpus
+    tests in tests/test_structscan.py), ``Untame`` on anything outside
+    the tame subset (caller re-runs the stdlib walk).
+
+    Versus the generic ``structscan.feed_events`` event mirror, this
+    exploits what the HANDLER ignores, inlining the construct loop so
+    each tag costs one locate + one name match and only the constructs
+    that matter pay more:
+
+      * block tags flush/push inline — their attributes are validated
+        (same tolerant walk, same Untame junk condition as the stdlib
+        mirror) but never materialized, unescaped, or dispatched;
+      * inert inline tags validate and skip — no handler call;
+      * inert end tags are a set-lookup no-op;
+      * text runs append inline (per-run ``&`` unescape preserved — an
+        entity can never span runs because runs are tag-delimited, and
+        the stdlib never decodes an entity interrupted by a tag);
+      * only ``a``/``meta``/skip-subtree tags take the full attribute
+        parse, via the SAME mirror as the struct scanner
+        (structscan._parse_starttag), so attribute semantics are
+        identical by construction."""
+    from html import unescape
+    from html.parser import (
+        attrfind_tolerant,
+        locatestarttagend_tolerant,
+        tagfind_tolerant,
+    )
+
+    from .structscan import (
+        _CDATA_CLOSE,
+        _ENDTAG_RE,
+        _parse_markup_misc,
+        Untame,
+    )
+
+    n = len(s)
+    i = 0
+    find = s.find
+    blocks, voids, needs = _BLOCK_TAGS, _VOID_BLOCKS, _NEEDS_ATTRS
+    while i < n:
+        nxt = find("<", i)
+        if nxt != i:
+            chunk = s[i:] if nxt < 0 else s[i:nxt]
+            # handle_data inlined: skipped subtrees drop data; anchors
+            # accumulate their own run copy
+            if not p._skip:
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                p._parts.append(chunk)
+                if p._a_href is not None:
+                    p._a_parts.append(chunk)
+            if nxt < 0:
+                return
+            i = nxt
+        c = s[i + 1 : i + 2]
+        if c and c.isalpha():
+            lm = locatestarttagend_tolerant.match(s, i)
+            e = lm.end()
+            nxt2 = s[e : e + 1]
+            if nxt2 == ">":
+                tag_end = e + 1
+                startend = False
+            elif nxt2 == "/" and s[e : e + 2] == "/>":
+                tag_end = e + 2
+                startend = True
+            else:
+                raise Untame("junk between attributes and '>'")
+            tm = tagfind_tolerant.match(s, i + 1)
+            tag = tm.group(1).lower()
+            if tag in needs:
+                # full attr parse (a/meta read values; skip tags gate
+                # subtrees + script/style CDATA) — the same tolerant
+                # walk as structscan._parse_starttag, reusing the
+                # locate/tagfind matches already in hand
+                k = tm.end()
+                attrs = []
+                while k < e:
+                    am = attrfind_tolerant.match(s, k)
+                    if am is None:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                if s[k:e].strip():
+                    raise Untame("unparsed attribute junk")
+                if startend:
+                    p.handle_startendtag(tag, attrs)
+                    i = tag_end
+                    continue
+                p.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    # stdlib CDATA mode: raw content to the closer; an
+                    # unclosed script buffers forever in the stdlib, so
+                    # nothing is emitted — mirror by jumping to EOF
+                    cm = _CDATA_CLOSE[tag].search(low, tag_end)
+                    if cm is None:
+                        return
+                    p.handle_data(s[tag_end : cm.start()])
+                    p.handle_endtag(tag)
+                    i = cm.end()
+                    continue
+                i = tag_end
+                continue
+            k = tm.end()
+            if k < e:
+                # attr region present: validate it exactly as the
+                # mirror does (junk → Untame) without materializing
+                while k < e:
+                    am = attrfind_tolerant.match(s, k)
+                    if am is None:
+                        break
+                    k = am.end()
+                if s[k:e].strip():
+                    raise Untame("unparsed attribute junk")
+            if tag in blocks and not p._skip:
+                # handle_starttag/_startendtag inlined for blocks
+                if p._parts:
+                    line = " ".join("".join(p._parts).split())
+                    if line:
+                        p._blocks.append(
+                            (p._stack[-1] if p._stack else None, line)
+                        )
+                    p._parts = []
+                if not startend and tag not in voids:
+                    p._stack.append(tag)
+            i = tag_end
+            continue
+        if c == "/":
+            em = _ENDTAG_RE.match(s, i)
+            if em is None:
+                raise Untame("malformed end tag")
+            tag = em.group(1).lower()
+            if tag in _INTERESTING_END:
+                p.handle_endtag(tag)
+            i = em.end()
+            continue
+        if c in ("!", "?"):
+            i = _parse_markup_misc(p, s, low, i)
+            continue
+        # '<' + EOF or non-name char: plain data in the stdlib parser
+        if not p._skip:
+            p._parts.append("<")
+            if p._a_href is not None:
+                p._a_parts.append("<")
+        i += 1
 
 
 def _parse(html: bytes | str | None) -> _TextExtractor:
@@ -208,10 +375,10 @@ def _parse(html: bytes | str | None) -> _TextExtractor:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     if KERNEL == "scan":
-        from . import structscan
+        from .structscan import _ASCII_LOWER
 
         try:
-            structscan.feed_events(parser, html)
+            _fused_feed(parser, html, html.translate(_ASCII_LOWER))
             return parser
         except Exception:
             parser = _TextExtractor()  # Untame/surprise: stdlib decides

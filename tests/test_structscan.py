@@ -295,3 +295,56 @@ def test_unclosed_plain_table_shadowing_infobox_equivalence():
     )
     fast = _fast(html)
     assert fast is not None and fast == _full(html)
+
+
+# ------------------------------------------------- htmltext fused kernel
+def _fused_views(html: str) -> dict | None:
+    from rdf_to_text_spark.functions import htmltext
+    from rdf_to_text_spark.functions.structscan import _ASCII_LOWER
+
+    p = htmltext._TextExtractor()
+    try:
+        htmltext._fused_feed(p, html, html.translate(_ASCII_LOWER))
+    except Exception:
+        return None
+    return {"t": p.text(), "b": p.blocks(), "l": p.links(), "m": p.metas()}
+
+
+def test_fused_feed_rich_corpus_equivalence_and_completion():
+    for d in range(0, 300):
+        html = render_rich_page_py(d)["html"].decode()
+        fast = _fused_views(html)
+        assert fast is not None, f"doc {d} fell back"  # fixture is tame
+        assert fast == _full_views(html), f"doc {d}"
+
+
+def test_fused_feed_struct_corpus_equivalence():
+    # the struct fixture (uppercase/mixed-case slices included) through
+    # the TEXT extractor: inert-tag skipping must not change any view
+    for d in range(0, 200):
+        html = render_struct_page_py(d)["html"].decode()
+        fast = _fused_views(html)
+        if fast is not None:
+            assert fast == _full_views(html), f"doc {d}"
+
+
+@given(_soup)
+@settings(max_examples=300, deadline=None)
+def test_fused_feed_differential_fuzz(html):
+    fast = _fused_views(html)
+    if fast is not None:
+        assert fast == _full_views(html), html[:200]
+
+
+@given(_attr_soup)
+@settings(max_examples=200, deadline=None)
+def test_fused_feed_fuzz_anchor_meta_attrs(attrs):
+    # attribute soup on the INTERESTING tags (a/meta carry values the
+    # extractor reads) around inert-tag neighbors
+    html = (
+        f"<p>x <b>y</b> <a {attrs} href='/h'>t</a> "
+        f"<meta {attrs} name='n' content='c'><span>z</span></p>"
+    )
+    fast = _fused_views(html)
+    if fast is not None:
+        assert fast == _full_views(html), html[:200]
