@@ -5330,6 +5330,120 @@ def pack_training_shards_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register_extra(
+    "sketch_kmv_distinct",
+    f"""WITH {fixtures.gold_cte()},
+dobj AS (SELECT DISTINCT pred, obj FROM gold),
+h AS (
+  SELECT pred,
+         CAST(('0x' || substr(md5(obj), 1, 8)) AS BIGINT) AS hv
+  FROM dobj
+),
+rk AS (
+  SELECT pred, hv, row_number() OVER (PARTITION BY pred ORDER BY hv) AS rn
+  FROM h
+),
+kth AS (
+  SELECT pred, MAX(hv) AS kth_min, COUNT(*) AS k_eff
+  FROM rk WHERE rn <= 32 GROUP BY pred
+),
+ex AS (SELECT pred, COUNT(*) AS n_exact FROM dobj GROUP BY pred)
+SELECT k.pred, CAST(k.k_eff AS INT) AS k_eff,
+       CAST(k.kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN k.k_eff < 32 THEN e.n_exact
+                 ELSE (k.k_eff - 1) * 4294967296 // k.kth_min END
+            AS BIGINT) AS est_distinct,
+       CAST(e.n_exact AS BIGINT) AS n_exact
+FROM kth k JOIN ex e ON e.pred = k.pred""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, integer-exact and
+    hash-checkable: per predicate, keep the k=32 smallest 32-bit md5
+    prefixes of the distinct objects; estimate distinct = (k−1)·2³² //
+    kth_min (Bar-Yossef et al.'s bottom-k estimator in pure integer
+    arithmetic — the portable-hash twin of approx_count_distinct, whose
+    HLL internals no second engine can replay). n_exact rides along so
+    the artifact shows sketch accuracy under the same hash.
+
+    Scale shape: one (pred, obj) distinct (combiner pre-aggregates),
+    then a per-pred window on the DISTINCT set — at any corpus size the
+    sketch state per predicate is k rows; ties on the 32-bit prefix are
+    value-identical so tie order cannot shift kth_min or the hash."""
+    t = _triples(spark, sf_dir)
+    k = 32
+    dobj = t.select("pred", "obj").distinct()
+    hv = F.conv(F.substring(F.md5("obj"), 1, 8), 16, 10).cast("long").alias("hv")
+    h = dobj.select("pred", hv)
+    w = Window.partitionBy("pred").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("pred")
+        .agg(F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    ex = dobj.groupBy("pred").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("k_eff") < k, F.col("n_exact")).otherwise(
+        F.expr("(k_eff - 1) * 4294967296L div kth_min")
+    )
+    return kth.join(ex, "pred").select(
+        "pred",
+        F.col("k_eff").cast("int").alias("k_eff"),
+        F.col("kth_min").cast("long").alias("kth_min"),
+        est.cast("long").alias("est_distinct"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+@_register_extra(
+    "text_length_quantiles",
+    r"""WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents WHERE trim(text) <> ''
+),
+r AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t
+),
+qs(quantile, num, den) AS (VALUES ('p50', 50, 100), ('p90', 90, 100),
+                                  ('p99', 99, 100))
+SELECT q.quantile, CAST(r.n_tok AS INT) AS n_tokens
+FROM r JOIN qs q ON r.rn = (r.n * q.num + q.den - 1) // q.den""",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles (percentile_disc semantics: the
+    value at rank ⌈q·n⌉) of per-document whitespace token counts —
+    integer-exact, unlike percentile_approx's sketch, so it sits under
+    the cross-engine hash. Ranks come from the two-pass
+    global_row_numbers (range-bucketed, no SinglePartition exchange —
+    the same machinery as the shard packer), so the only global objects
+    are the bucket-offset table and one scalar count; ties on n_tok
+    cannot shift the value at any rank."""
+    from .functions.ranking import global_row_numbers
+
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    t = docs.select(
+        F.size(_text_toks()).cast("long").alias("n_tok"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    ranked = global_row_numbers(
+        t,
+        [F.col("n_tok"), F.col("doc_id")],  # total order; ties value-safe
+        rn_col="rn",
+        small_threshold=0,
+        cleanup=_CLEANUPS,
+    )
+    n = ranked.count()  # one scalar to the driver
+    qs = spark.createDataFrame(
+        [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)],
+        "quantile string, num int, den int",
+    )
+    target = F.expr(f"({n}L * num + den - 1) div den")
+    return ranked.join(F.broadcast(qs), F.col("rn") == target).select(
+        "quantile", F.col("n_tok").cast("int").alias("n_tokens")
+    )
+
+
+@_register_extra(
     "kg_schema_stats",
     f"""WITH {fixtures.gold_cte()}
 SELECT pred,
