@@ -3841,48 +3841,18 @@ def stream_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@_register_extra(
-    "xml_corpus_roundtrip",
-    """WITH d AS (
-  SELECT doc_id, 1 + doc_id % 2 AS size, doc_id % 3 AS cat,
-         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS n_lexs
-  FROM documents
-)
-SELECT 'Id' || doc_id AS eid,
-       'cat' || cat AS category,
-       CAST(size AS VARCHAR) AS size,
-       CAST(size AS INT) AS n_triples,
-       CAST(n_lexs AS INT) AS n_lexs,
-       array_to_string(list_transform(range(0, size),
-                       k -> 'p' || ((doc_id * 5 + k) % 11)), ',') AS preds,
-       array_to_string(list_transform(range(0, size),
-                       k -> 's' || ((doc_id * 3 + k) % 50)), ',') AS subjs
-FROM d WHERE n_lexs > 0""",
-)
-def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 under an oracle: WebNLG-shaped XML corpus files are
-    SYNTHESIZED engine-side from doc_id arithmetic (entry attributes,
-    ' | '-separated triple text, 0-2 <lex> children — every 7th entry
-    deliberately lex-less), written one XML document per partition
-    directory, and read back through the REAL reader
-    (sources/readers.py:read_benchmark_xml — binaryFile +
-    ElementTree-in-Arrow). The oracle recomputes the expected entry
-    table from the same arithmetic: a hash match pins attribute
-    extraction, document-order triple parsing, the ' | ' split, and
-    the no-lex skip rule (benchmark_reader.py:73-80) — none of which
-    the oracle shares code with. Scratch is released after
-    materialization."""
-    import shutil
-    import tempfile
-
-    from .sources.readers import read_benchmark_xml
-
+def _xml_corpus_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized WebNLG-shaped XML corpus (one document per file_id)
+    from doc_id arithmetic — the shared fixture for the S2/A5/A7
+    queries. Original-tripleset preds are ``p((d*5+k)%11)``; MODIFIED
+    preds are ``q((d*5+k)%7)`` so A7's positional property_map is a
+    non-trivial many-to-many relation."""
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
     size = (1 + did % 2).cast("int")
     n_lexs = F.when(did % 7 == 0, F.lit(0)).otherwise(1 + did % 2).cast("int")
 
-    def triple_xml(tag_set: str, tag: str) -> F.Column:
+    def triple_xml(tag_set: str, tag: str, pch: str, pmod: int) -> F.Column:
         body = F.concat_ws(
             "",
             F.transform(
@@ -3890,7 +3860,7 @@ def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda k: F.concat(
                     F.lit(f"<{tag}>"),
                     F.lit("s"), ((did * 3 + k) % 50).cast("string"),
-                    F.lit(" | p"), ((did * 5 + k) % 11).cast("string"),
+                    F.lit(f" | {pch}"), ((did * 5 + k) % pmod).cast("string"),
                     F.lit(" | o"), ((did * 7 + k) % 70).cast("string"),
                     F.lit(f"</{tag}>"),
                 ),
@@ -3916,27 +3886,82 @@ def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<entry category="cat'), (did % 3).cast("string"),
         F.lit('" eid="Id'), did.cast("string"),
         F.lit('" size="'), size.cast("string"), F.lit('">'),
-        triple_xml("originaltripleset", "otriple"),
-        triple_xml("modifiedtripleset", "mtriple"),
+        triple_xml("originaltripleset", "otriple", "p", 11),
+        triple_xml("modifiedtripleset", "mtriple", "q", 7),
         lex_xml,
         F.lit("</entry>"),
     )
-    per_file = (
-        docs.select((did % 8).alias("file_id"), F.struct(did.alias("doc_id"), entry.alias("e")).alias("se"))
+    return (
+        docs.select(
+            (did % 8).alias("file_id"),
+            F.struct(did.alias("doc_id"), entry.alias("e")).alias("se"),
+        )
         .groupBy("file_id")
         .agg(
             F.concat(
                 F.lit("<benchmark><entries>"),
-                F.concat_ws("", F.transform(F.array_sort(F.collect_list("se")), lambda s: s["e"])),
+                F.concat_ws(
+                    "", F.transform(F.array_sort(F.collect_list("se")), lambda s: s["e"])
+                ),
                 F.lit("</entries></benchmark>"),
             ).alias("value")
         )
     )
+
+
+def _read_xml_corpus(spark: SparkSession, sf_dir: str, out_fn):
+    """Write the synthesized corpus to scratch, run the REAL reader,
+    materialize ``out_fn(entries)`` to pandas, release the scratch."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_benchmark_xml
+
     work = tempfile.mkdtemp(prefix="xml_corpus_")
     try:
-        per_file.write.partitionBy("file_id").mode("overwrite").text(f"{work}/xml")
-        entries = read_benchmark_xml(spark, f"{work}/xml/*/part-*")
-        out = entries.select(
+        _xml_corpus_files(spark, sf_dir).write.partitionBy("file_id").mode(
+            "overwrite"
+        ).text(f"{work}/xml")
+        return out_fn(read_benchmark_xml(spark, f"{work}/xml/*/part-*"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@_register_extra(
+    "xml_corpus_roundtrip",
+    """WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS size, doc_id % 3 AS cat,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS n_lexs
+  FROM documents
+)
+SELECT 'Id' || doc_id AS eid,
+       'cat' || cat AS category,
+       CAST(size AS VARCHAR) AS size,
+       CAST(size AS INT) AS n_triples,
+       CAST(n_lexs AS INT) AS n_lexs,
+       array_to_string(list_transform(range(0, size),
+                       k -> 'q' || ((doc_id * 5 + k) % 7)), ',') AS preds,
+       array_to_string(list_transform(range(0, size),
+                       k -> 's' || ((doc_id * 3 + k) % 50)), ',') AS subjs
+FROM d WHERE n_lexs > 0""",
+)
+def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under an oracle: WebNLG-shaped XML corpus files are
+    SYNTHESIZED engine-side from doc_id arithmetic (entry attributes,
+    ' | '-separated triple text, 0-2 <lex> children — every 7th entry
+    deliberately lex-less), written one XML document per partition
+    directory, and read back through the REAL reader
+    (sources/readers.py:read_benchmark_xml — binaryFile +
+    ElementTree-in-Arrow). The oracle recomputes the expected entry
+    table from the same arithmetic: a hash match pins attribute
+    extraction, document-order triple parsing, the ' | ' split, and
+    the no-lex skip rule (benchmark_reader.py:73-80) — none of which
+    the oracle shares code with. Scratch is released after
+    materialization."""
+    out = _read_xml_corpus(
+        spark,
+        sf_dir,
+        lambda entries: entries.select(
             "eid",
             "category",
             "size",
@@ -3944,14 +3969,81 @@ def xml_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("lexs").cast("int").alias("n_lexs"),
             F.concat_ws(",", F.transform("mtriples", lambda t: t["p"])).alias("preds"),
             F.concat_ws(",", F.transform("mtriples", lambda t: t["s"])).alias("subjs"),
-        ).toPandas()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        ).toPandas(),
+    )
     return spark.createDataFrame(
         out,
         "eid string, category string, size string, n_triples int, "
         "n_lexs int, preds string, subjs string",
     )
+
+
+@_register_extra(
+    "xml_lexcount_by_size_category",
+    """WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS size, doc_id % 3 AS cat,
+         1 + doc_id % 2 AS n_lexs
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT CAST(size AS VARCHAR) AS size, 'cat' || cat AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(n_lexs) AS BIGINT) AS total_lexcount
+FROM d GROUP BY 1, 2""",
+)
+def xml_lexcount_by_size_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 under an oracle (upgrade from tested-only): the reference's
+    ``lexcount_size_category`` (benchmark_reader.py:120-122) — per
+    (size, category), entry count and summed lex counts, computed by
+    the REAL reader + aggregation over the synthesized XML corpus; the
+    oracle replays the corpus arithmetic (lex-less every-7th entries
+    are skipped by the reader, so they vanish from both sides)."""
+    out = _read_xml_corpus(
+        spark,
+        sf_dir,
+        lambda entries: entries.groupBy("size", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum(F.size("lexs")).alias("total_lexcount"),
+        )
+        .toPandas(),
+    )
+    return spark.createDataFrame(
+        out,
+        "size string, category string, n_entries long, total_lexcount long",
+    )
+
+
+@_register_extra(
+    "xml_property_map",
+    """WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS size FROM documents WHERE doc_id % 7 <> 0
+),
+pairs AS (
+  SELECT DISTINCT 'q' || ((d.doc_id * 5 + k.range) % 7) AS mpred,
+         'p' || ((d.doc_id * 5 + k.range) % 11) AS opred
+  FROM d, range(0, 2) k WHERE k.range < d.size
+)
+SELECT mpred, opred FROM pairs""",
+)
+def xml_property_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 under an oracle (upgrade from tested-only): the reference's
+    ``property_map`` (benchmark_reader.py:124-130) pairs each MODIFIED
+    predicate with the ORIGINAL predicate at the same position across
+    the two triplesets; the fixture's q(mod 7) / p(mod 11) formulas
+    make the map genuinely many-to-many. The production operator
+    (sources/readers.py:entry_stats) builds mpred → set(opred); the
+    query explodes the sets to hashable (mpred, opred) rows and the
+    oracle replays the positional arithmetic."""
+    from .sources.readers import entry_stats
+
+    out = _read_xml_corpus(
+        spark,
+        sf_dir,
+        lambda entries: entry_stats(entries)["property_map"]
+        .select("mpred", F.explode("opreds").alias("opred"))
+        .toPandas(),
+    )
+    return spark.createDataFrame(out, "mpred string, opred string")
 
 
 @_register_extra(
