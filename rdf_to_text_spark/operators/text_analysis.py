@@ -126,3 +126,91 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """(doc_id, fp) — md5 of squeezed lowercase text (content identity)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, integer-exact: per document the
+    line count, the count and character mass of lines occurring more
+    than once, and the occurrence count of the most frequent token
+    bigram — the quality gates that catch boilerplate-looped and
+    spam-repeated pages, in pure engine expressions so a second engine
+    replays them under the hash.
+
+    Plan: two combiner groupBys keyed (doc, line) / (doc, bigram) — the
+    keys carry the doc id, so both aggregate map-side and shuffle only
+    distinct (doc, value) pairs; no window, no UDF.
+    """
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    lc = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    line_agg = lc.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_lines"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    # guard the 1-token case: sequence(0, -1) is DESCENDING in Spark
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(0, size(_toks) - 2),"
+        " i -> concat(_toks[i], ' ', _toks[i + 1]))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+    bg = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return line_agg.join(bg, id_col, "left").fillna(0, ["top_bigram_n"])
+
+
+def ngram_overlap_flags(
+    docs: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any token
+    ``n``-gram with an eval/benchmark set — the curation step every
+    LLM pipeline runs before training (eval leakage otherwise inflates
+    scores). Output: (doc_id, n_hit_grams) for contaminated documents,
+    counting DISTINCT overlapping n-grams.
+
+    Plan: both sides tokenize engine-side and explode distinct
+    (doc, gram); the benchmark gram set is eval-sized by construction
+    → broadcast; one semi-shaped inner join + combiner count. At 100 TB
+    the corpus side stays a narrow map + one aggregate.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )
+        arr = F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN"
+            f" transform(sequence(0, size(_toks) - {n}),"
+            f" i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+            f" ELSE cast(array() AS array<string>) END"
+        )
+        return (
+            df.select(F.col(id_col), toks.alias("_toks"))
+            .select(F.col(id_col), F.explode(arr).alias("gram"))
+            .distinct()
+        )
+
+    bench = grams(benchmark_docs).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

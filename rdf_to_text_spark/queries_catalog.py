@@ -5536,6 +5536,91 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "text_repetition_stats",
+    r"""WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents WHERE trim(text) <> ''
+),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+la AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_lines,
+         SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+  FROM lc GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bm AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT CAST(la.doc_id AS BIGINT) AS doc_id,
+       CAST(la.n_lines AS BIGINT) AS n_lines,
+       CAST(la.n_dup_lines AS BIGINT) AS n_dup_lines,
+       CAST(la.dup_line_chars AS BIGINT) AS dup_line_chars,
+       CAST(COALESCE(bm.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM la LEFT JOIN bm ON bm.doc_id = la.doc_id""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates, integer-exact (the quality rules
+    that catch boilerplate-looped and spam-repeated pages): per doc the
+    line count, duplicate-line count and character mass, and the top
+    token-bigram occurrence count — see
+    operators/text_analysis.py:repetition_stats for the plan shape."""
+    out = text_analysis.repetition_stats(
+        _docs(spark, sf_dir).filter(F.trim("text") != "")
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_lines").cast("long"),
+        F.col("n_dup_lines").cast("long"),
+        F.col("dup_line_chars").cast("long"),
+        F.col("top_bigram_n").cast("long"),
+    )
+
+
+@_register_extra(
+    "text_decontaminate_8gram",
+    r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM t WHERE len(toks) >= 8
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM g JOIN bench b ON b.gram = g.gram
+GROUP BY g.doc_id""",
+)
+def text_decontaminate_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the curation step every LLM pipeline
+    runs before training: flag documents sharing any token 8-gram with
+    the eval set (here: every 101st document stands in as the held-out
+    benchmark; templated sentences make real cross-doc overlap, so the
+    flag set is non-trivial). Counting DISTINCT overlapping 8-grams per
+    document pins tokenization, the n-gram window, the dedup and the
+    semi-join in one hash — see
+    operators/text_analysis.py:ngram_overlap_flags."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    out = text_analysis.ngram_overlap_flags(docs, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("n_hit_grams").cast("long")
+    )
+
+
+@_register_extra(
     "kg_schema_stats",
     f"""WITH {fixtures.gold_cte()}
 SELECT pred,
