@@ -214,3 +214,92 @@ def ngram_overlap_flags(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-weighted adjacent-character pair counts over the word
+    vocabulary — the FIRST iteration of BPE merge learning, and the
+    only part that touches the full corpus: (left, right, n) where n
+    sums the containing words' corpus frequencies (a word contributes
+    its count once per OCCURRENCE of the pair inside it, the classic
+    BPE convention).
+
+    Plan: one combiner word-count groupBy (corpus → vocabulary-sized),
+    then pair explosion over the VOCAB only (tiny) + one more combiner
+    groupBy. At 100 TB the corpus is touched exactly once.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    wc = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, length(word) - 1),"
+        " i -> struct(substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r))"
+    )
+    return (
+        wc.filter(F.length("word") >= 2)
+        .select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 20,
+    max_vocab: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, str, str, int]]:
+    """Learn BPE merges over the corpus: [(step, left, right, count)].
+
+    The 100 TB shape: Spark computes word counts (the only corpus-wide
+    pass — one combiner groupBy); merge learning then runs over the
+    VOCABULARY (capped at ``max_vocab`` words by count desc, word asc —
+    deterministic), which is dictionary-sized at any corpus scale, so
+    the greedy loop is driver-side pure Python (the same split every
+    production BPE trainer makes: distributed counting, local merging).
+    Ties break (count desc, pair asc) so the merge table is a pure
+    function of the corpus. Symbols start as characters; merged symbols
+    concatenate (no end-of-word marker — the GPT-2-style pre-tokenizer
+    upstream already isolates words).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    rows = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = [(list(r.word), int(r.n)) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # deterministic argmax: count desc, then pair lexicographic
+        (left, right), best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, best))
+        merged = left + right
+        for syms, _n in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges

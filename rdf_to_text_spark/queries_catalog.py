@@ -5536,6 +5536,115 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "bpe_pair_counts",
+    r"""WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+wc AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word),
+p AS (
+  SELECT word, n, unnest(range(1, length(word))) AS i
+  FROM wc WHERE length(word) >= 2
+)
+SELECT substr(word, CAST(i AS INT), 1) AS lft,
+       substr(word, CAST(i AS INT) + 1, 1) AS rgt,
+       CAST(SUM(n) AS BIGINT) AS n
+FROM p GROUP BY 1, 2""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of BPE tokenizer TRAINING under the hash:
+    corpus-weighted adjacent-character pair counts over the word
+    vocabulary (iteration 1 of merge learning — the only part that
+    touches the full corpus; operators/text_analysis.py:
+    bpe_pair_counts). One corpus-wide combiner groupBy, then pair
+    explosion over the vocabulary only. The greedy merge LOOP runs
+    driver-side over the dictionary-sized vocab (bpe_learn_merges) and
+    is pinned by reference-parity tests instead — iterative greedy
+    argmax is not ANSI-expressible."""
+    out = text_analysis.bpe_pair_counts(
+        _docs(spark, sf_dir).filter(F.trim("text") != "")
+    )
+    return out.select(
+        F.col("left").alias("lft"),
+        F.col("right").alias("rgt"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_register_extra("bpe_learn_merges")  # rows-only: iterative greedy, non-ANSI
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table learning (tokenizer training) — the production
+    split: Spark owns the one corpus-wide word-count pass; the greedy
+    merge loop runs over the capped vocabulary driver-side
+    (operators/text_analysis.py:bpe_learn_merges; deterministic ties:
+    count desc, pair asc). Output (step, lft, rgt, n) — the merge
+    table a downstream tokenizer consumes. Reference-parity +
+    determinism tests in tests/test_text_analysis.py; the distributed
+    half is hash-checked by bpe_pair_counts."""
+    merges = text_analysis.bpe_learn_merges(
+        _docs(spark, sf_dir).filter(F.trim("text") != ""), n_merges=20
+    )
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, n long"
+    )
+
+
+@_register_extra(
+    "kg_graph_sources_sinks",
+    f"""WITH {fixtures.gold_cte()},
+e AS (SELECT DISTINCT doc_id, subj AS src, obj AS dst FROM gold),
+nodes AS (
+  SELECT DISTINCT doc_id, node FROM (
+    SELECT doc_id, src AS node FROM e
+    UNION ALL SELECT doc_id, dst FROM e
+  )
+),
+marked AS (
+  SELECT n.doc_id, n.node,
+         CASE WHEN di.node IS NULL THEN 1 ELSE 0 END AS is_source,
+         CASE WHEN dout.node IS NULL THEN 1 ELSE 0 END AS is_sink
+  FROM nodes n
+  LEFT JOIN (SELECT DISTINCT doc_id, dst AS node FROM e) di
+    ON di.doc_id = n.doc_id AND di.node = n.node
+  LEFT JOIN (SELECT DISTINCT doc_id, src AS node FROM e) dout
+    ON dout.doc_id = n.doc_id AND dout.node = n.node
+),
+flags AS (
+  SELECT doc_id, MAX(is_source) AS has_source, MAX(is_sink) AS has_sink
+  FROM marked GROUP BY doc_id
+)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.node,
+       CAST(m.is_source AS INT) AS is_source,
+       CAST(m.is_sink AS INT) AS is_sink,
+       CAST(CASE WHEN f.has_source = 0 OR f.has_sink = 0 THEN 1 ELSE 0 END
+            AS INT) AS is_cyclic
+FROM marked m JOIN flags f ON f.doc_id = m.doc_id""",
+)
+def kg_graph_sources_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 under an oracle (upgrade from tested-only): per example, the
+    in-degree-0 sources and out-degree-0 sinks of the subject→object
+    graph, plus the reference's cyclic-drop flag (an example with no
+    source or no sink is cyclic and gets dropped,
+    build_dataset.py:150-163, :269-272). The production operator
+    (operators/graph.py:sources_and_sinks) runs over the REAL
+    extraction; the oracle replays set membership from gold arithmetic
+    — degree MULTIPLICITY is irrelevant to the booleans, so the
+    distinct-edge replay is exact."""
+    from .operators.graph import sources_and_sinks
+
+    t = _triples(spark, sf_dir)
+    edges = t.select("doc_id", F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    out = sources_and_sinks(edges)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "node",
+        F.col("is_source").cast("int").alias("is_source"),
+        F.col("is_sink").cast("int").alias("is_sink"),
+        F.col("is_cyclic").cast("int").alias("is_cyclic"),
+    )
+
+
+@_register_extra(
     "text_repetition_stats",
     r"""WITH l AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line
