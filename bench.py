@@ -257,7 +257,19 @@ def main() -> None:
         {"dedup_cluster_mirrors": 2},
     )
     extras["r7_queries_sec"] = timed(
-        ("data_curation_e2e",),
+        (
+            "data_curation_e2e",
+            "sketch_kmv_distinct",
+            "text_length_quantiles",
+            "text_repetition_stats",
+            "text_decontaminate_8gram",
+            "text_pii_redact",
+            "bpe_pair_counts",
+            "bpe_learn_merges",
+            "kg_graph_sources_sinks",
+            "xml_lexcount_by_size_category",
+            "xml_property_map",
+        ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number
         {"data_curation_e2e": 2},

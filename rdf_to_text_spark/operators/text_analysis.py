@@ -303,3 +303,43 @@ def bpe_learn_merges(
                 else:
                     i += 1
     return merges
+
+
+# PII patterns restricted to what Java regex (Spark) and RE2 (DuckDB)
+# match identically: no lookaround, no backreferences. The word
+# boundary \b exists in both.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_INTL_PHONE = r"\+\d{7,15}"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the pre-training redaction pass: replace emails,
+    IPv4 addresses and international phone numbers with typed mask
+    tokens, and count each. Pure engine regexps (whole-stage codegen,
+    patterns in the Java∩RE2 dialect) so a second engine replays the
+    exact redacted text; the redacted text is fingerprinted (md5) so
+    the full replacement output sits under the hash without shipping
+    the text twice.
+
+    Order matters and is part of the contract: emails first (an email's
+    host part must not be eaten by a later pattern), then IPv4, then
+    phones.
+    """
+    t = F.col(text_col)
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_INTL_PHONE, "<PHONE>")
+
+    def n(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    return docs.select(
+        F.col(id_col),
+        n(t, PII_EMAIL).alias("n_emails"),
+        n(t1, PII_IPV4).alias("n_ipv4"),
+        n(t2, PII_INTL_PHONE).alias("n_phones"),
+        F.md5(t3).alias("redacted_md5"),
+    )

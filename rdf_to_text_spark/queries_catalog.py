@@ -5536,6 +5536,90 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "text_pii_redact",
+    r"""WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.org now'
+           WHEN doc_id % 4 = 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+           WHEN doc_id % 4 = 2 THEN ' call +45'
+                || lpad(CAST(doc_id % 100000 AS VARCHAR), 8, '0') || ' today'
+           ELSE '' END AS text
+  FROM documents WHERE trim(text) <> ''
+),
+r AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+r2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM r
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) AS INT) AS n_phones,
+       md5(regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g')) AS redacted_md5
+FROM r2""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing under the hash — the pre-training redaction pass:
+    emails → <EMAIL>, IPv4 → <IP>, international phones → <PHONE>, with
+    per-type counts and the md5 of the fully-redacted text (so the
+    exact replacement OUTPUT is pinned, not just the counts). The
+    corpus text carries no PII by construction, so both sides append a
+    deterministic PII suffix per doc_id % 4 class (email / ip / phone /
+    none) before redacting — the operator, the Java∩RE2 pattern
+    dialect, the replacement order (emails first so hosts survive to be
+    counted as neither IP nor phone) and the global-replace semantics
+    are all under the oracle. See operators/text_analysis.py:
+    pii_redact."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail.example.org now"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), ((did * 7) % 256).cast("string"), F.lit(" logged"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call +45"),
+                F.lpad((did % 100000).cast("string"), 8, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(did, F.concat(F.col("text"), suffix).alias("text"))
+    out = text_analysis.pii_redact(aug)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_emails").cast("int"),
+        F.col("n_ipv4").cast("int"),
+        F.col("n_phones").cast("int"),
+        "redacted_md5",
+    )
+
+
+@_register_extra(
     "bpe_pair_counts",
     r"""WITH w AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
