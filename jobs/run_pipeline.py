@@ -70,6 +70,15 @@ def main() -> int:
         "(operators/linking.py: capped_entity_pairs + link_with_prior) "
         "and write mentions_linked/ alongside edges/",
     )
+    ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="also run the training-data curation chain over the page "
+        "TEXT (operators/curation.py: quality gate → near-dup cluster "
+        "representative keep → BPE token counts → md5-slot stratified "
+        "sample → token-budget shard packing) and write "
+        "curated_shards/ alongside edges/",
+    )
     ap.add_argument("--output", required=True, help="output base dir (edges/ lineage/)")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--master", default=None)
@@ -210,6 +219,36 @@ def main() -> int:
         )
         canonical.write.mode("overwrite").parquet(f"{args.output}/entities_canonical")
         summary["canonical_entities"] = canonical.count()
+
+    if args.curate:
+        # the data_curation_e2e capstone as a production stage: same
+        # operator, the caller applies the packing arithmetic
+        from pyspark.sql import functions as F
+
+        from rdf_to_text_spark.operators.curation import curate_corpus
+
+        if args.rich_html:
+            from rdf_to_text_spark.functions.htmltext import extract_rich_udf
+
+            texts = pages.select("doc_id", extract_rich_udf("html").alias("text"))
+        else:
+            texts = pages.select("doc_id", "text")
+        cleanup: list = []
+        packed = curate_corpus(texts, cleanup=cleanup).select(
+            "doc_id",
+            "n_bpe",
+            "bucket",
+            ((F.col("cum") - F.col("n_bpe")) / 1000).cast("long").alias("shard"),
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/curated_shards")
+        for h in cleanup:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+        cur = spark.read.parquet(f"{args.output}/curated_shards")
+        summary["curated_docs"] = cur.count()
+        summary["curated_shards"] = cur.select("shard").distinct().count()
 
     if args.link_prior:
         # signals→linking production tail (same operators the driver

@@ -2403,10 +2403,7 @@ def data_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization beyond CC round stats and the n_buckets offset
     table."""
     from .functions.htmltext import extract_rich_udf
-    from .functions.ranking import global_prefix_sums
-    from .operators import dedup
-    from .operators.canonicalize import connected_components
-    from .operators.text_analysis import BPE_ISH_PATTERN, EN_STOPWORDS
+    from .operators.curation import curate_corpus
     from .operators.webtext import latest_snapshot
     from .sources.warc import read_warc
 
@@ -2425,70 +2422,7 @@ def data_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
     )
     texts = pages.select("doc_id", extract_rich_udf("html").alias("text"))
-
-    lower = F.lower(F.col("text"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
-    n_ws = F.size(toks)
-    n_sw = F.size(
-        F.filter(F.split(F.trim(lower), r"\s+"), lambda t: F.array_contains(sw, t))
-    )
-    n_alpha = F.length(F.regexp_replace(lower, r"[^a-z]", ""))
-    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
-    matches = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
-    n_bpe = F.size(F.filter(matches, lambda m: F.trim(m) != F.lit("")))
-    gated = (
-        texts.filter(
-            n_ws.between(30, 10000) & (100 * n_sw >= n_ws) & (2 * n_alpha >= n_nonspace)
-        )
-        .select("doc_id", "text", n_bpe.alias("n_bpe"))
-        .persist()
-    )
-    _CLEANUPS.append(gated)
-
-    cands = dedup.minhash_lsh_candidates_md5(
-        gated.select("doc_id", "text"), cleanup=_CLEANUPS
-    )
-    pairs = (
-        dedup.ngram_jaccard(
-            gated.select("doc_id", "text"), cands.select("doc_a", "doc_b"), n=3
-        )
-        .filter(F.col("jaccard") >= 0.75)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    # component = min reachable node id, so non-representatives are
-    # exactly the nodes that differ from their component label
-    nonrep = (
-        connected_components(pairs)
-        .filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias("doc_id"))
-    )
-    survivors = gated.join(nonrep, "doc_id", "left_anti")
-
-    slot = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    sampled = survivors.select(
-        "doc_id",
-        "n_bpe",
-        F.when(F.col("n_bpe") >= 45, F.lit("long")).otherwise(F.lit("short")).alias(
-            "bucket"
-        ),
-        slot.alias("slot"),
-    ).filter(
-        ((F.col("bucket") == "long") & (F.col("slot") < 50))
-        | ((F.col("bucket") == "short") & (F.col("slot") < 10))
-    )
-    packed = global_prefix_sums(
-        sampled.select("doc_id", "n_bpe", "bucket"),
-        [F.col("doc_id")],
-        "n_bpe",
-        out_col="cum",
-        small_threshold=0,  # force the distributed path
-        cleanup=_CLEANUPS,
-    )
+    packed = curate_corpus(texts, cleanup=_CLEANUPS)
     return packed.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_bpe").cast("int").alias("n_bpe_tokens"),

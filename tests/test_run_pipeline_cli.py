@@ -206,3 +206,39 @@ def test_run_pipeline_link_prior(spark):
         assert any(r.score > 0 for r in linked)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_run_pipeline_curate(spark):
+    """--curate: the curation capstone as a spark-submit stage — writes
+    curated_shards/ (doc_id, n_bpe, bucket, shard) over rich pages."""
+    out_dir = tempfile.mkdtemp(prefix="kgcli_curate_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--synthetic", "400", "--rich-html", "--output", out_dir,
+                "--chunks", "2", "--master", "local[4]", "--curate",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["curated_docs"] > 0
+        assert summary["curated_shards"] > 1  # the budget actually splits
+
+        cur = spark.read.parquet(f"{out_dir}/curated_shards")
+        rows = sorted(
+            ((r.doc_id, r.n_bpe, r.bucket, r.shard) for r in cur.collect())
+        )
+        # packing invariants: shard monotone in doc_id order, shard =
+        # floor(exclusive prefix / 1000), every kept doc quality-gated
+        cum = 0
+        for _doc, n_bpe, bucket, shard in rows:
+            assert shard == cum // 1000
+            assert bucket in ("long", "short")
+            assert n_bpe >= 20  # gate floor is 30 ws tokens
+            cum += n_bpe
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
