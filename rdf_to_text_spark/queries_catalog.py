@@ -5470,6 +5470,65 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "text_quality_gate_stream",
+    r"""WITH s AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> list_contains(['the','a','an','of','in','is','to','and','for','on','with','by','was','as','at','from'], x))) AS n_sw,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(list_filter(regexp_extract_all(text, '""" + _BPE_SQL + r"""', 0),
+             x -> trim(x) <> '')) AS n_bpe
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_ws AS INT) AS n_ws_tokens,
+       CAST(n_bpe AS INT) AS n_bpe_tokens
+FROM s
+WHERE n_ws BETWEEN 10 AND 10000 AND 100 * n_sw >= n_ws
+  AND 2 * n_alpha >= n_nonspace AND 20 * n_sw >= n_ws""",
+)
+def text_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATELESS half of the curation chain through Structured
+    Streaming (streaming/extract_stream.py:stream_quality_gate):
+    quality + integer-idiom lang gates and BPE token counts over a
+    documents file stream (4 files, ≥2 real micro-batches asserted),
+    committed through a checkpointed exactly-once parquet sink, read
+    back — stream ≡ batch for the curation gates under the same
+    closed-form oracle. The stateful tail (near-dup clustering, shard
+    packing) needs corpus-global state and stays batch
+    (data_curation_e2e); a production crawl tail runs THIS continuously
+    and compacts gated micro-batches into curation runs."""
+    import shutil
+    import tempfile
+
+    from .streaming.extract_stream import stream_quality_gate
+
+    work = tempfile.mkdtemp(prefix="quality_stream_")
+    try:
+        _docs(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+            f"{work}/docs"
+        )
+        q = stream_quality_gate(
+            spark, f"{work}/docs", f"{work}/out", f"{work}/ckpt",
+            max_files_per_trigger=2,
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        if n_batches < 2:
+            raise RuntimeError(f"expected >=2 micro-batches, got {n_batches}")
+        out = spark.read.parquet(f"{work}/out").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "doc_id long, n_ws_tokens int, n_bpe_tokens int"
+    )
+
+
+@_register_extra(
     "text_pii_redact",
     r"""WITH aug AS (
   SELECT doc_id,

@@ -99,3 +99,66 @@ def stream_structdata(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Continuous corpus-curation GATING: the batch quality/lang/token
+    expressions (operators/text_analysis.py — pure engine columns, so
+    they lift to streaming unchanged) over a documents file stream,
+    committed through a checkpointed exactly-once parquet sink. The
+    stateless half of the curation chain (the clustering/packing tail
+    needs corpus-global state and stays batch); a crawl tail runs this
+    continuously and compacts gated micro-batches into curation runs.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text_analysis import BPE_ISH_PATTERN, EN_STOPWORDS
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    lower = F.lower(F.col("text"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_ws = F.size(toks)
+    n_sw = F.size(
+        F.filter(F.split(F.trim(lower), r"\s+"), lambda t: F.array_contains(sw, t))
+    )
+    n_alpha = F.length(F.regexp_replace(lower, r"[^a-z]", ""))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    matches = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    n_bpe = F.size(F.filter(matches, lambda m: F.trim(m) != F.lit("")))
+    gated = (
+        docs.filter(F.trim("text") != "")
+        .filter(
+            n_ws.between(10, 10000) & (100 * n_sw >= n_ws) & (2 * n_alpha >= n_nonspace)
+        )
+        # lang gate in the INTEGER idiom (20·sw ≥ tok ⇔ ratio ≥ 5%) so
+        # the oracle replays it exactly — no float rounding under the hash
+        .filter(20 * n_sw >= n_ws)
+        .select(
+            F.col("doc_id").cast("long"),
+            n_ws.cast("int").alias("n_ws_tokens"),
+            n_bpe.cast("int").alias("n_bpe_tokens"),
+        )
+    )
+    writer = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
