@@ -269,10 +269,13 @@ def main() -> None:
             "kg_graph_sources_sinks",
             "xml_lexcount_by_size_category",
             "xml_property_map",
+            "text_quality_gate_stream",
+            "sample_domain_quota",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
-        # curation-pipeline number
-        {"data_curation_e2e": 2},
+        # curation-pipeline number; the stream query writes its own
+        # scratch corpus + checkpoint each call — once is honest
+        {"data_curation_e2e": 2, "text_quality_gate_stream": 1},
     )
 
     # ANN quality: recall of the LSH path vs exact brute force

@@ -5470,6 +5470,42 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register_extra(
+    "sample_domain_quota",
+    """WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 10""",
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — the corpus-BALANCE stage a crawl
+    curation pipeline runs so one giant host cannot dominate the
+    training mix: within each source domain keep the 10 docs ranked
+    first by the portable md5 shuffle key (deterministic, audit-
+    replayable — re-runs pick the same documents; doc_id tiebreak makes
+    the order total). One per-domain window — keys are hosts, so the
+    shuffle is wide and NOT single-partition at any corpus size; a
+    pathological mega-host is exactly the AQE-covered skew shape the
+    link-prior bench window measures."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("doc_id").cast("long"), "source", F.col("rnk").cast("int")
+        )
+    )
+
+
+@_register_extra(
     "text_quality_gate_stream",
     r"""WITH s AS (
   SELECT doc_id, text,
