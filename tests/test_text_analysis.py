@@ -98,3 +98,67 @@ def test_bpe_learn_merges_deterministic(spark):
     a = bpe_learn_merges(docs, n_merges=10)
     b = bpe_learn_merges(docs, n_merges=10)
     assert a == b and len(a) == 10
+
+
+def test_repetition_stats_crafted(spark):
+    from rdf_to_text_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nunique\nsame line"),
+            (2, "a b a b a b"),  # top bigram 'a b' x3
+            (3, "once"),          # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 4 and r1.n_dup_lines == 3
+    assert r1.dup_line_chars == 3 * len("same line")
+    assert got[2].top_bigram_n == 3
+    assert got[3].top_bigram_n == 0 and got[3].n_dup_lines == 0
+
+
+def test_pii_redact_order_and_masks(spark):
+    from rdf_to_text_spark.operators.text_analysis import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            # the email's digits/dots must be consumed by the EMAIL
+            # pattern first — not double-counted as an IP or phone
+            (1, "write to a.b-9@host10.example.com or 10.0.0.1 or +4512345678"),
+            (2, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (1, 1, 1)
+    assert (got[2].n_emails, got[2].n_ipv4, got[2].n_phones) == (0, 0, 0)
+    import hashlib
+    want = "write to <EMAIL> or <IP> or <PHONE>"
+    assert got[1].redacted_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_ngram_overlap_flags_counts_distinct(spark):
+    from rdf_to_text_spark.operators.text_analysis import ngram_overlap_flags
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares two distinct 8-grams with the benchmark
+            (1, "zero one two three four five six seven eight nine ten"),
+            (2, "totally different words with no overlap here at all ok"),
+            # repeats the same overlapping 8-gram twice: DISTINCT => 1
+            # (the seam grams wrap around and match nothing)
+            (3, "one two three four five six seven eight "
+                "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hit_grams for r in ngram_overlap_flags(docs, bench).collect()}
+    assert got.get(1) == 2      # [one..eight], [two..nine]
+    assert 2 not in got         # clean doc not flagged
+    assert got.get(3) == 1      # duplicates collapse to one distinct gram
