@@ -33,7 +33,6 @@ def curate_corpus(
     min_tokens: int = 30,
     max_tokens: int = 10_000,
     long_bpe: int = 45,
-    budget: int = 1000,
     jaccard: float = 0.75,
     long_pct: int = 50,
     short_pct: int = 10,
@@ -41,7 +40,7 @@ def curate_corpus(
     """texts(doc_id, text) → (doc_id, n_bpe, bucket, cum) curated shards
     input: quality-gated, near-dup-deduped (min-id representative per
     cluster), stratified-sampled, with the inclusive prefix token sum
-    ``cum`` in doc_id order (shard = (cum - n_bpe) // budget — left to
+    ``cum`` in doc_id order (shard = (cum - n_bpe) // budget is left to
     the caller so the packing arithmetic stays visible at the use
     site). ``cleanup`` receives the persist handles (the repo's
     release_caches contract)."""
