@@ -271,6 +271,11 @@ def main() -> None:
             "xml_property_map",
             "text_quality_gate_stream",
             "sample_domain_quota",
+            "text_paragraph_dedup",
+            "text_dup_spans",
+            "text_lm_buckets",
+            "kg_fusion_functional",
+            "kg_constraint_violations",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

@@ -54,6 +54,45 @@ if mode in ("link_skew", "link_uniform"):
          .alias("anchor"),
     )
     df.repartition(64).write.mode("overwrite").parquet(path)
+elif mode == "curate":
+    # texts table for the curation-chain window: 12 stopword-rich base
+    # tokens + 25 seed-derived 3-letter content tokens per doc; every
+    # doc with id % 7 == 3 is a near-mirror of its predecessor (same
+    # seed, 3 extra footer tokens -> 3-gram Jaccard ~0.85, above the
+    # 0.75 cluster threshold; unrelated docs share only the base run,
+    # ~0.15). This reproduces the capstone's dup structure at bench
+    # scale without WARC rendering.
+    from pyspark.sql import functions as F
+    L = "abcdefghijklmnopqrstuvwxyz"
+    toks = ", ".join(
+        "concat(" + ", ".join(
+            f"substr('{L}', cast((seed * {3 * k + 7 + 2 * j} + {13 * k + 5 * j})"
+            f" % 26 as int) + 1, 1)"
+            for j in range(3)
+        ) + ")"
+        for k in range(25)
+    )
+    base = ("concat_ws(' ', 'the quick brown fox jumps over the lazy dog"
+            f" near the river', {toks})")
+    df = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") - F.when(F.col("id") % 7 == 3, 1).otherwise(0)).alias("seed"),
+            (F.col("id") % 7 == 3).alias("_mirror"),
+        )
+        .select("doc_id", F.expr(base).alias("_base"), "_mirror")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_mirror"),
+                F.concat(F.col("_base"), F.lit(" mirrored archive footer")),
+            )
+            .otherwise(F.col("_base"))
+            .alias("text"),
+        )
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
 else:
     gen = (fixtures_web.rich_pages_from_range if mode == "rich"
            else fixtures_struct.struct_pages_from_range
@@ -122,6 +161,27 @@ if mode in ("link_skew", "link_uniform"):
         "mention string, entity string, n_refs long")
     job = lambda df: link_with_prior(df, cands, prior,
                                      anchor_prior=anch, w_cooc=10, w_anchor=1)
+elif mode == "curate":
+    # the capstone's post-extraction chain end-to-end: quality gates ->
+    # MinHash-LSH candidates -> Jaccard verify -> CC representative keep
+    # -> stratified sample -> distributed prefix-sum shard packing.
+    # Each timed run builds a fresh chain (its own persist handles,
+    # unpersisted at the start of the next run) and materializes it
+    # exactly once — the global_prefix_sums contract.
+    from pyspark.sql import functions as F
+    from rdf_to_text_spark.operators.curation import curate_corpus
+
+    _handles = []
+    def _curate_job(df):
+        for h in _handles:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+        _handles.clear()
+        out = curate_corpus(df.select("doc_id", "text"), _handles)
+        return out.select(F.expr("(cum - n_bpe) div 1000").alias("shard"))
+    job = _curate_job
 else:
     job = ((lambda df: extract_triples_from_rich_html(df)) if mode == "rich"
            else (lambda df: structdata_facts(df)) if mode == "struct"
@@ -168,12 +228,14 @@ def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--rich", "--struct", "--struct-counts", "--link-skew", "--link-uniform")]
+            if a not in ("--rich", "--struct", "--struct-counts", "--link-skew",
+                         "--link-uniform", "--curate")]
     mode = ("rich" if "--rich" in sys.argv[1:]
             else "struct_counts" if "--struct-counts" in sys.argv[1:]
             else "struct" if "--struct" in sys.argv[1:]
             else "link_skew" if "--link-skew" in sys.argv[1:]
-            else "link_uniform" if "--link-uniform" in sys.argv[1:] else "plain")
+            else "link_uniform" if "--link-uniform" in sys.argv[1:]
+            else "curate" if "--curate" in sys.argv[1:] else "plain")
     n_docs = int(args[0]) if args else 2_000_000
     pages_path = materialize_pages(n_docs, mode)
     r8 = run_at(8, pages_path, n_docs, mode)
@@ -202,6 +264,10 @@ def main() -> None:
         else "uniform-anchor control for the link_with_prior skew window "
              "(same size/shape, no Zipf head)"
         if mode == "link_uniform"
+        else "curation chain: quality gates → MinHash-LSH → Jaccard verify → "
+             "CC representative keep → stratified sample → prefix-sum shard "
+             "packing (1-in-7 near-mirror corpus; 'triples' = packed docs)"
+        if mode == "curate"
         else "parquet scan → fused extract"
     )
     with open("BENCH.md", "a") as f:

@@ -511,3 +511,74 @@ def ngram_jaccard(
         "doc_b",
         (inter / F.when(union == 0, 1).otherwise(union)).alias("jaccard"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup — the RefinedWeb/MassiveText
+    curation rule that strips repeated boilerplate (nav bars, footers,
+    license blurbs) shared across pages while keeping each paragraph's
+    globally FIRST occurrence. Paragraphs here are consecutive
+    ``chunk_tokens``-token chunks of the whitespace tokenization (the
+    corpus carries no hard paragraph breaks); the keep rule is the
+    smallest (doc_id, chunk index) per distinct paragraph text, so
+    later occurrences — in other docs or the same doc — drop.
+
+    Output: (doc_id, n_paras, n_dropped, clean_md5) with clean_md5 the
+    md5 of the doc rebuilt from only the kept paragraphs in order.
+
+    Plan: tokenize + chunk engine-side (no UDF), posexplode to
+    (doc, pidx, para); first-occurrence via a combiner-friendly
+    groupBy(para).min(struct(doc_id, pidx)) — map-side partial min, so
+    a hot boilerplate paragraph is one skewed-but-tiny aggregate key
+    rather than a skewed row_number sort partition; join back on para
+    (AQE splits any residual hot key) and rebuild per doc with
+    array_sort(collect_list(...)). Two shuffles total: one on para,
+    one on doc_id.
+    """
+    k = int(chunk_tokens)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    paras = F.expr(
+        f"transform(sequence(0, (size(_toks) - 1) div {k}),"
+        f" i -> array_join(slice(_toks, i * {k} + 1, {k}), ' '))"
+    )
+    exploded = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
+    )
+    first = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pidx").alias("p"))).alias(
+            "_first"
+        )
+    )
+    flagged = exploded.join(first, "para").withColumn(
+        "kept",
+        (
+            (F.col("_first.d") == F.col(id_col)) & (F.col("_first.p") == F.col("pidx"))
+        ).cast("int"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(1 - F.col("kept")).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1,
+                                F.struct(F.col("pidx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

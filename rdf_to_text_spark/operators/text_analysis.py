@@ -8,7 +8,7 @@ decimals at the operator boundary — the cross-engine hash contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small English function-word list for the n-gram/stopword heuristic.
@@ -342,4 +342,117 @@ def pii_redact(
         n(t1, PII_IPV4).alias("n_ipv4"),
         n(t2, PII_INTL_PHONE).alias("n_phones"),
         F.md5(t3).alias("redacted_md5"),
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated n-gram SPAN statistics — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for a
+    shuffle engine: instead of a suffix array over the concatenated
+    corpus, hash-aggregate token n-grams, keep those occurring in >= 2
+    distinct documents, and measure per document how much of it sits
+    inside duplicated spans.
+
+    Output: (doc_id, n_grams, n_dup_pos, max_dup_run) over documents
+    with >= n tokens — n_dup_pos counts gram start positions whose
+    n-gram also appears in another document; max_dup_run is the
+    longest consecutive run of such positions (a run of r duplicated
+    n-grams is a duplicated span of r + n - 1 tokens, the quantity the
+    suffix-array method reports).
+
+    Plan: one explode to (doc, pos, gram); document frequency via a
+    combiner groupBy on gram (approx of the suffix array's LCP scan)
+    filtered to nd >= 2; join back on gram — a shuffle hash join where
+    AQE splits hot boilerplate grams; islands per doc via a
+    doc-partitioned window (doc-sized partitions, never a global
+    sort).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    arr = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN"
+        f" transform(sequence(0, size(_toks) - {n}),"
+        f" i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+        f" ELSE cast(array() AS array<string>) END"
+    )
+    grams = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col), F.posexplode(arr).alias("pos", "gram")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dupg, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("rid", F.col("pos") - F.row_number().over(w))
+    dstats = (
+        runs.groupBy(id_col, "rid")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy(id_col)
+        .agg(F.sum("rl").alias("n_dup_pos"), F.max("rl").alias("max_dup_run"))
+    )
+    return totals.join(dstats, id_col, "left").fillna(0, ["n_dup_pos", "max_dup_run"])
+
+
+def unigram_lm_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cleanup: list | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing, made integer-exact
+    so a second engine replays it under a hash: the corpus's own
+    unigram frequencies stand in for the LM (a doc whose tokens are
+    corpus-typical scores high, like CCNet's Wikipedia-LM perplexity
+    but self-contained), each doc gets scaled_score =
+    (sum of its tokens' corpus counts) * 1_000_000 div n_tok, and docs
+    split into head / middle / tail terciles — CCNet trains on head +
+    middle and drops tail.
+
+    Output: (doc_id, n_tok, sum_freq, scaled_score, bucket).
+
+    Plan: unigram counts are a vocabulary-sized combiner aggregate →
+    broadcast back onto the token stream (no shuffle of the corpus);
+    per-doc score is one doc-keyed combiner groupBy. The tercile split
+    uses functions/ranking.py:global_row_numbers (range-partitioned
+    rank, driver-side bucket offsets) + explicit NTILE arithmetic
+    instead of an unpartitioned NTILE window, so the plan carries NO
+    single-partition exchange at any corpus size.
+    """
+    from ..functions.ranking import global_row_numbers
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    stream = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    freq = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        stream.join(F.broadcast(freq), "tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("c").alias("sum_freq"))
+        .withColumn("scaled_score", F.expr("(sum_freq * 1000000) div n_tok"))
+    )
+    n_docs = per_doc.count()
+    q, r = divmod(n_docs, 3)
+    b1 = q + (1 if r >= 1 else 0)
+    b2 = b1 + q + (1 if r >= 2 else 0)
+    ranked = global_row_numbers(
+        per_doc,
+        [F.col("scaled_score").desc(), F.col(id_col)],
+        rn_col="_rn",
+        small_threshold=0,
+        cleanup=cleanup,
+    )
+    return ranked.select(
+        id_col,
+        "n_tok",
+        "sum_freq",
+        "scaled_score",
+        F.when(F.col("_rn") <= b1, F.lit("head"))
+        .when(F.col("_rn") <= b2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

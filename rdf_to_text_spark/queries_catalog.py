@@ -5944,3 +5944,253 @@ def kg_schema_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "range_type",
         )
     )
+
+
+@_register_extra(
+    "text_paragraph_dedup",
+    r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+p0 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) - 1) // 12 + 1)) AS pidx
+  FROM t WHERE len(toks) >= 1
+),
+p AS (
+  SELECT doc_id, pidx,
+         array_to_string(toks[pidx*12+1:pidx*12+12], ' ') AS para
+  FROM p0
+),
+f AS (
+  SELECT para, MIN(doc_id * 1048576 + pidx) AS fkey FROM p GROUP BY para
+),
+flagged AS (
+  SELECT p.doc_id, p.pidx, p.para,
+         CASE WHEN p.doc_id * 1048576 + p.pidx = f.fkey THEN 1 ELSE 0 END AS kept
+  FROM p JOIN f USING (para)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(para, ' ' ORDER BY pidx)
+                      FILTER (WHERE kept = 1), '')) AS clean_md5
+FROM flagged GROUP BY doc_id""",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb/MassiveText boilerplate
+    rule): 12-token chunks stand in for paragraphs, each distinct
+    paragraph keeps only its globally first (doc_id, pidx) occurrence,
+    and the doc is rebuilt from the survivors — the md5 of the rebuilt
+    text pins tokenization, chunking, the keep rule AND the in-order
+    reassembly in one hash. The oracle replays first-occurrence with
+    an integer composite key (doc_id * 2^20 + pidx; chunk index is
+    always far below 2^20), which selects the same winner as the
+    operator's min(struct(doc_id, pidx)) — see
+    operators/dedup.py:paragraph_dedup for the plan."""
+    out = dedup.paragraph_dedup(
+        _docs(spark, sf_dir).filter(F.trim("text") != ""), chunk_tokens=12
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_paras").cast("long"),
+        F.col("n_dropped").cast("long"),
+        "clean_md5",
+    )
+
+
+@_register_extra(
+    "text_dup_spans",
+    r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+g0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+  FROM t WHERE len(toks) >= 8
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM g0
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+dupg AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM hits
+),
+rl AS (SELECT doc_id, rid, COUNT(*) AS rl FROM runs GROUP BY doc_id, rid),
+d AS (
+  SELECT doc_id, SUM(rl) AS n_dup_pos, MAX(rl) AS max_dup_run
+  FROM rl GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       CAST(COALESCE(d.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM totals t LEFT JOIN d ON d.doc_id = t.doc_id""",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, the
+    suffix-array dedup family): per document, how many token-8-gram
+    start positions are shared with another document and the longest
+    consecutive run of them (a run of r duplicated 8-grams = a
+    duplicated span of r+7 tokens, the span the suffix-array method
+    would cut). Complements the MinHash/SimHash whole-doc families
+    in-window — this is the WITHIN-doc span signal. See
+    operators/text_analysis.py:dup_span_stats for the plan shape."""
+    out = text_analysis.dup_span_stats(
+        _docs(spark, sf_dir).filter(F.trim("text") != ""), n=8
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_grams").cast("long"),
+        F.col("n_dup_pos").cast("long"),
+        F.col("max_dup_run").cast("long"),
+    )
+
+
+@_register_extra(
+    "text_lm_buckets",
+    r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+s AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+freq AS (SELECT tok, COUNT(*) AS c FROM s GROUP BY tok),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_tok, SUM(f.c) AS sum_freq
+  FROM s JOIN freq f USING (tok) GROUP BY s.doc_id
+),
+scored AS (
+  SELECT doc_id, n_tok, sum_freq,
+         (sum_freq * 1000000) // n_tok AS scaled_score
+  FROM per_doc
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY scaled_score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(sum_freq AS BIGINT) AS sum_freq,
+       CAST(scaled_score AS BIGINT) AS scaled_score,
+       CASE WHEN rn <= n // 3 + LEAST(n % 3, 1) THEN 'head'
+            WHEN rn <= 2 * (n // 3) + LEAST(n % 3, 2) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked""",
+)
+def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing, integer-exact: docs scored by
+    their tokens' corpus-unigram frequencies (scaled_score =
+    sum_freq * 1e6 div n_tok) and split into head/middle/tail
+    terciles — the CCNet gate keeps head+middle for training. The
+    tercile is explicit NTILE arithmetic over a
+    functions/ranking.py:global_row_numbers rank (range-partitioned,
+    driver bucket offsets), so the Spark plan has no single-partition
+    window; the oracle replays the identical arithmetic from a plain
+    ROW_NUMBER. See operators/text_analysis.py:unigram_lm_buckets."""
+    out = text_analysis.unigram_lm_buckets(
+        _docs(spark, sf_dir).filter(F.trim("text") != ""), cleanup=_CLEANUPS
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tok").cast("long"),
+        F.col("sum_freq").cast("long"),
+        F.col("scaled_score").cast("long"),
+        "bucket",
+    )
+
+
+@_register_extra(
+    "kg_fusion_functional",
+    f"""WITH {fixtures.gold_cte()},
+tr AS (SELECT DISTINCT doc_id, subj, pred, obj FROM gold),
+sup AS (
+  SELECT subj, pred, obj, COUNT(DISTINCT doc_id) AS support
+  FROM tr GROUP BY subj, pred, obj
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY subj, pred
+                            ORDER BY support DESC, obj) AS rn,
+         COUNT(*) OVER (PARTITION BY subj, pred) AS n_alternatives,
+         SUM(support) OVER (PARTITION BY subj, pred) AS total_support
+  FROM sup
+)
+SELECT subj, pred, obj AS fused_obj,
+       CAST(support AS BIGINT) AS support,
+       CAST(n_alternatives AS BIGINT) AS n_alternatives,
+       CAST(total_support AS BIGINT) AS total_support
+FROM rk WHERE rn = 1""",
+)
+def kg_fusion_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-Vault-style support-weighted fusion over the REAL
+    extraction: one canonical object per (subj, pred), the object the
+    most distinct documents assert (ties → smallest object), with the
+    alternative count and total assertion mass riding the hash. The
+    step after extraction+linking that turns page-level assertions
+    into a single KG — see operators/fusion.py:fuse_support_weighted
+    for the bounded-window plan."""
+    from .operators.fusion import fuse_support_weighted
+
+    out = fuse_support_weighted(_triples(spark, sf_dir))
+    return out.select(
+        "subj",
+        "pred",
+        "fused_obj",
+        F.col("support").cast("long"),
+        F.col("n_alternatives").cast("long"),
+        F.col("total_support").cast("long"),
+    )
+
+
+@_register_extra(
+    "kg_constraint_violations",
+    f"""WITH {fixtures.gold_cte()},
+tr AS (SELECT DISTINCT doc_id, subj, pred, obj FROM gold),
+f AS (
+  SELECT pred FROM (
+    SELECT pred, MAX(n) AS m FROM (
+      SELECT pred, subj, COUNT(DISTINCT obj) AS n
+      FROM tr WHERE doc_id % 2 = 0 GROUP BY pred, subj
+    ) GROUP BY pred
+  ) WHERE m = 1
+),
+v AS (
+  SELECT pred, subj, COUNT(DISTINCT obj) AS n_obj,
+         MIN(obj) AS obj_min, MAX(obj) AS obj_max
+  FROM tr GROUP BY pred, subj
+)
+SELECT v.pred, v.subj, CAST(v.n_obj AS BIGINT) AS n_obj,
+       v.obj_min, v.obj_max
+FROM v JOIN f USING (pred) WHERE v.n_obj >= 2""",
+)
+def kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint VALIDATION (schema induction step 3, after
+    kg_schema_stats and kg_schema_classes): induce the functional
+    predicates on a trusted half of the corpus (even doc_ids), then
+    flag (pred, subj) groups anywhere in the corpus carrying >= 2
+    distinct objects under an induced-functional predicate — the
+    no-gold-labels error report a KG curator reads after a crawl. See
+    operators/fusion.py:constraint_violations."""
+    from .operators.fusion import constraint_violations
+
+    t = _triples(spark, sf_dir)
+    out = constraint_violations(t, t.filter(F.col("doc_id") % 2 == 0))
+    return out.select(
+        "pred", "subj", F.col("n_obj").cast("long"), "obj_min", "obj_max"
+    )
