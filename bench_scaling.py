@@ -64,10 +64,16 @@ elif mode == "curate":
     # scale without WARC rendering.
     from pyspark.sql import functions as F
     L = "abcdefghijklmnopqrstuvwxyz"
+    # char (k, j) reads base-26 digit ((3k+j) mod 8) of the scrambled
+    # seed — NOT a linear function mod 26 (a first cut used
+    # (seed*c) % 26, which collapses the corpus into 26 exact-dup
+    # classes: every LSH bucket blows past max_bucket and the dedup
+    # stage measures nothing). Period 26^8 ≈ 2e11 → expected exact
+    # collisions at 1M docs ≈ 0.
     toks = ", ".join(
         "concat(" + ", ".join(
-            f"substr('{L}', cast((seed * {3 * k + 7 + 2 * j} + {13 * k + 5 * j})"
-            f" % 26 as int) + 1, 1)"
+            f"substr('{L}', cast(((seed * 1000003 + {13 * k + 5 * j + 7})"
+            f" div {26 ** ((3 * k + j) % 8)}) % 26 as int) + 1, 1)"
             for j in range(3)
         ) + ")"
         for k in range(25)
