@@ -276,6 +276,7 @@ def main() -> None:
             "text_lm_buckets",
             "kg_fusion_functional",
             "kg_constraint_violations",
+            "bpe_encode_corpus",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

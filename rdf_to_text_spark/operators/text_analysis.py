@@ -456,3 +456,83 @@ def unigram_lm_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Apply a learned BPE merge table (bpe_learn_merges output, or any
+    [(left, right), ...] priority list) to encode every document —
+    the other half of the tokenizer loop: train once, encode the whole
+    corpus.
+
+    Output: (doc_id, n_words, n_symbols, encoded_md5) — encoded_md5
+    hashes the doc's full symbol sequence in token order, so the merge
+    application AND the order-preserving reassembly ride one value.
+
+    Plan — the same corpus/vocabulary split as the trainer: encoding
+    is a pure function of the WORD, so Python runs only over the
+    distinct-word vocabulary (Arrow-batched mapInPandas, replaying the
+    trainer's sequential merge loop for exact parity), and the result
+    joins back onto the token stream — broadcast by default
+    (vocabularies are dictionary-sized); pass broadcast_vocab=False
+    when a web-scale long tail outgrows the broadcast threshold and
+    the join should shuffle instead. The corpus itself is touched once
+    and never enters Python.
+    """
+    import pandas as pd
+
+    merge_list = [
+        (m[1], m[2]) if len(m) >= 4 else (m[0], m[1]) for m in merges
+    ]
+
+    def _encode_batches(batches):
+        for pdf in batches:
+            out_sym, out_n = [], []
+            for word in pdf["word"]:
+                syms = list(word)
+                for lft, rgt in merge_list:
+                    merged = lft + rgt
+                    i = 0
+                    while i < len(syms) - 1:
+                        if syms[i] == lft and syms[i + 1] == rgt:
+                            syms[i : i + 2] = [merged]
+                        else:
+                            i += 1
+                out_sym.append(" ".join(syms))
+                out_n.append(len(syms))
+            yield pd.DataFrame(
+                {"word": pdf["word"], "sym_str": out_sym, "n_sym": out_n}
+            )
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    tokens = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+    vocab = tokens.select("word").distinct()
+    encoded = vocab.mapInPandas(
+        _encode_batches, schema="word string, sym_str string, n_sym int"
+    )
+    if broadcast_vocab:
+        encoded = F.broadcast(encoded)
+    return (
+        tokens.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("sym_str")))
+                        ),
+                        lambda s: s["sym_str"],
+                    ),
+                    " ",
+                )
+            ).alias("encoded_md5"),
+        )
+    )

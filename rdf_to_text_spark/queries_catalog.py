@@ -6194,3 +6194,26 @@ def kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pred", "subj", F.col("n_obj").cast("long"), "obj_min", "obj_max"
     )
+
+
+@_register_extra("bpe_encode_corpus")  # greedy-merge semantics: no ANSI oracle
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the tokenizer loop (bpe_learn_merges is the
+    training half): learn 20 merges over the corpus, then ENCODE every
+    document with them — per doc the word count, encoded symbol count
+    and the md5 of the full in-order symbol sequence. Python runs only
+    over the distinct-word vocabulary (Arrow-batched, replaying the
+    trainer's merge loop for exact parity — pinned against a pure-
+    Python replay in tests/test_paragraph_lm_ops.py); the corpus is
+    joined once against the broadcast encoded vocab. Rows-only in the
+    sweep (the greedy merge loop is not ANSI-SQL-expressible), like
+    bpe_learn_merges."""
+    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    merges = text_analysis.bpe_learn_merges(docs, n_merges=20)
+    out = text_analysis.bpe_encode(docs, merges)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_words").cast("long"),
+        F.col("n_symbols").cast("long"),
+        "encoded_md5",
+    )

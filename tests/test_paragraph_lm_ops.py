@@ -114,3 +114,48 @@ def test_unigram_lm_buckets_exact_terciles(spark):
     assert got[3] == (3, 8, 2_666_666, "middle")
     # N=5 -> NTILE(3) buckets of 2/2/1: rank 5 alone is tail
     assert got[4] == (3, 7, 2_333_333, "tail")
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Distributed encode == the trainer's own merge loop applied
+    word-by-word in pure Python (counts AND the in-order symbol md5)."""
+    from rdf_to_text_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    texts = {1: "low low low lower newest", 2: "newest newest widest low"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges = bpe_learn_merges(docs, n_merges=6)
+    assert merges  # sanity: some merges learned
+
+    def enc(word):
+        syms = list(word)
+        for _s, lft, rgt, _n in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == lft and syms[i + 1] == rgt:
+                    syms[i : i + 2] = [lft + rgt]
+                else:
+                    i += 1
+        return syms
+
+    got = {
+        r.doc_id: (r.n_words, r.n_symbols, r.encoded_md5)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for d, text in texts.items():
+        words = text.split()
+        encoded = [enc(w) for w in words]
+        want_md5 = _md5(" ".join(" ".join(s) for s in encoded))
+        assert got[d] == (len(words), sum(len(s) for s in encoded), want_md5), d
+
+
+def test_bpe_encode_unmerged_word_stays_chars(spark):
+    from rdf_to_text_spark.operators.text_analysis import bpe_encode
+
+    docs = spark.createDataFrame([(1, "xyz ab")], "doc_id long, text string")
+    got = bpe_encode(docs, [("a", "b")]).collect()[0]
+    # "xyz" -> x y z (3 symbols), "ab" -> merged (1 symbol)
+    assert (got.n_words, got.n_symbols) == (2, 4)
+    assert got.encoded_md5 == _md5("x y z ab")
