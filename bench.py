@@ -277,6 +277,8 @@ def main() -> None:
             "kg_fusion_functional",
             "kg_constraint_violations",
             "bpe_encode_corpus",
+            "kg_relexicalise",
+            "web_redirect_resolve",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

@@ -669,3 +669,66 @@ def hits_int(
             "doc_id", F.coalesce("recv", F.lit(0)).cast("long").alias("hub")
         )
     return hub.join(auth, "doc_id")
+
+
+def resolve_redirect_chains(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve HTTP-redirect / rel=canonical CHAINS to their terminal:
+    (src, final, n_hops) for every source in a functional edge set
+    (each src has exactly one dst; a url absent from the src column is
+    a terminal). The primitive behind canonical-url consolidation in a
+    crawl index — every near-dup/linking stage keys on the TERMINAL
+    url, not the hop-1 target.
+
+    Plan: POINTER DOUBLING, not hop-at-a-time walking — round k jumps
+    every pointer up to 2^k hops (ptr ⋈ ptr on dst=src; hops add), so
+    a chain of length L resolves in ⌈log2 L⌉ self-joins instead of L
+    sequential ones. Each round is one shuffle on the pointer table +
+    one scalar convergence probe, with `localCheckpoint(eager=True)`
+    cutting the squared-lineage replan cost (the pagerank_int_converged
+    idiom above). At 100 TB a redirect chain is rarely >30 hops: 5
+    rounds, each a co-partitioned self-join AQE can plan — vs 30
+    full-table joins for the naive walk.
+
+    Cycles never converge under doubling (the pointer orbits); after
+    `max_iters` rounds (chains up to 2^max_iters) unresolved rows are
+    reported in the raised error rather than looping forever.
+    """
+    ptr = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.lit(1).cast("long").alias("n_hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        jumped = (
+            ptr.alias("a")
+            .join(
+                ptr.select(
+                    F.col("src").alias("j_src"),
+                    F.col("dst").alias("j_dst"),
+                    F.col("n_hops").alias("j_hops"),
+                ),
+                F.col("a.dst") == F.col("j_src"),
+                "left",
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce("j_dst", "a.dst").alias("dst"),
+                (F.col("a.n_hops") + F.coalesce("j_hops", F.lit(0))).alias("n_hops"),
+                F.col("j_src").isNotNull().alias("moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ptr.unpersist()
+        moved = jumped.agg(F.sum(F.col("moved").cast("int"))).collect()[0][0] or 0
+        ptr = jumped.drop("moved")
+        if moved == 0:
+            return ptr.select("src", F.col("dst").alias("final"), "n_hops")
+    raise ValueError(
+        f"redirect chains unresolved after {max_iters} doubling rounds "
+        f"(chains longer than 2^{max_iters}, or a redirect cycle)"
+    )

@@ -6217,3 +6217,113 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_symbols").cast("long"),
         "encoded_md5",
     )
+
+
+@_register_extra(
+    "kg_relexicalise",
+    r"""WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 5),
+built AS (
+  SELECT doc_id,
+    toks[1] AS v1,
+    toks[2] || ' ' || toks[3] AS v10,
+    toks[4] AS v2
+  FROM f
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+  replace(replace(replace(
+    'the ENTITIES_1 met ENTITIES_10 near ENTITIES_2 today , and ENTITIES_2 thanked ENTITIES_1',
+    'ENTITIES_1 ', v1 || ' '),
+    'ENTITIES_10 ', v10 || ' '),
+    'ENTITIES_2 ', v2 || ' ') AS relex_text
+FROM built""",
+)
+def kg_relexicalise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 positional rplc join driven through the oracle — the
+    `relexicalise` operator (operators/delex.py:relexicalise, literal
+    `webnlg_baseline_input.py:209-211` semantics: `pred.replace(key +
+    ' ', value + ' ')` in sorted key order). A synthetic masked
+    prediction line + rplc dict is rendered deterministically from
+    `documents` on BOTH sides; the mask set {ENTITIES_1, ENTITIES_10,
+    ENTITIES_2} makes the hash pin all three reference quirks at once:
+
+      * sorted-STRING key order (E_1 < E_10 < E_2, not numeric);
+      * the trailing-space guard — replacing 'ENTITIES_1 ' first
+        cannot eat the 'ENTITIES_10 ' occurrence (no space after '1');
+      * a mask at string END (no trailing space) stays UNREPLACED.
+
+    ENTITIES_10's surface is multiword (two doc tokens), so positional
+    expansion rides the hash too. The oracle replays the chain as
+    nested replace() in the same sorted order — exact, because
+    Python's sequential `str.replace` and nested SQL replace() are
+    both full-string left-to-right non-overlapping passes.
+
+    Scale shape: fixture build is engine-side concat/create_map; the
+    substitution is the Arrow-batched operator — per-doc work, narrow
+    plan, no shuffle."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    t = lambda i: F.element_at("toks", i)  # noqa: E731
+    built = base.select(
+        "id",
+        F.lit(
+            "the ENTITIES_1 met ENTITIES_10 near ENTITIES_2 today , "
+            "and ENTITIES_2 thanked ENTITIES_1"
+        ).alias("pred_text"),
+        F.create_map(
+            F.lit("ENTITIES_1"), t(1),
+            F.lit("ENTITIES_10"), F.concat(t(2), F.lit(" "), t(3)),
+            F.lit("ENTITIES_2"), t(4),
+        ).alias("rplc"),
+    )
+    out = delex.relexicalise(built, pred_col="pred_text", rplc_col="rplc")
+    return out.select(F.col("id").cast("long"), "relex_text")
+
+
+@_register_extra(
+    "web_redirect_resolve",
+    """WITH p AS (
+  SELECT doc_id FROM documents WHERE doc_id % 32 <> 0
+), q AS (
+  SELECT doc_id FROM documents WHERE doc_id % 32 = 17
+)
+SELECT 'https://ex.org/p' || CAST(doc_id AS VARCHAR) AS src,
+       'https://ex.org/p' || CAST((doc_id // 32) * 32 AS VARCHAR) AS final,
+       CAST(doc_id % 32 AS BIGINT) AS n_hops
+FROM p
+UNION ALL
+SELECT 'https://ex.org/q' || CAST(doc_id AS VARCHAR) AS src,
+       'https://ex.org/p' || CAST((doc_id // 32) * 32 AS VARCHAR) AS final,
+       CAST(doc_id % 32 + 1 AS BIGINT) AS n_hops
+FROM q""",
+)
+def web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url / redirect-chain resolution under the hash —
+    operators/webtext.py:resolve_redirect_chains (pointer doubling,
+    ⌈log2 L⌉ self-joins). Deterministic chain fixture from `documents`:
+    page p<i> redirects to p<i-1> unless i is a multiple of 32 (the
+    terminals), giving chains up to 31 hops (5-6 doubling rounds — the
+    loop actually iterates); pages with i%32==17 also carry an alias
+    q<i> -> p<i>, so the terminal join sees in-degree > 1 mid-chain.
+    The hash pins (src, TERMINAL, exact hop count) for every source —
+    a hop-miscount or an off-by-one-round bug shifts it. The oracle is
+    the closed-form doc_id arithmetic of the same chains."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    u = lambda pfx, c: F.concat(F.lit(f"https://ex.org/{pfx}"), c.cast("string"))  # noqa: E731
+    p_edges = ids.filter(F.col("doc_id") % 32 != 0).select(
+        u("p", F.col("doc_id")).alias("src"),
+        u("p", F.col("doc_id") - 1).alias("dst"),
+    )
+    q_edges = ids.filter(F.col("doc_id") % 32 == 17).select(
+        u("q", F.col("doc_id")).alias("src"),
+        u("p", F.col("doc_id")).alias("dst"),
+    )
+    from .operators import webtext
+
+    out = webtext.resolve_redirect_chains(p_edges.unionByName(q_edges))
+    return out.select("src", "final", F.col("n_hops").cast("long"))

@@ -44,3 +44,33 @@ def test_sitemap_gap_is_session_timezone_invariant(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert east == utc and len(utc) > 0
+
+
+def test_resolve_redirect_chains_terminals_and_hops(spark):
+    from rdf_to_text_spark.operators.webtext import resolve_redirect_chains
+
+    # a->b->c->d (terminal d); x->c merges into the chain; lone->d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c"), ("lone", "d")],
+        "src string, dst string",
+    )
+    got = {r.src: (r.final, r.n_hops) for r in resolve_redirect_chains(edges).collect()}
+    assert got == {
+        "a": ("d", 3),
+        "b": ("d", 2),
+        "c": ("d", 1),
+        "x": ("d", 2),
+        "lone": ("d", 1),
+    }
+
+
+def test_resolve_redirect_chains_cycle_raises(spark):
+    import pytest as _pytest
+
+    from rdf_to_text_spark.operators.webtext import resolve_redirect_chains
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_redirect_chains(edges, max_iters=4)
