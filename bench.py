@@ -279,6 +279,9 @@ def main() -> None:
             "bpe_encode_corpus",
             "kg_relexicalise",
             "web_redirect_resolve",
+            "eval_rouge_l",
+            "text_winnow_fingerprint",
+            "text_winnow_matches",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

@@ -536,3 +536,127 @@ def bpe_encode(
             ).alias("encoded_md5"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS selector): per document the selected (pos, fp)
+    pairs, where `fp` is the 32-bit md5 slot of the k-token shingle at
+    0-based shingle position `pos`, and a shingle is selected iff it is
+    the RIGHTMOST minimum of at least one window of `w` consecutive
+    shingle hashes. The winnowing guarantee: any match of length
+    >= w + k - 1 tokens between two documents shares at least one
+    selected fingerprint — the local, position-robust complement to the
+    whole-doc `fingerprint` above and the MinHash sketch family in
+    `operators/dedup.py` (containment/plagiarism spans, not whole-doc
+    resemblance).
+
+    Documents with fewer than w shingles keep the guarantee trivially:
+    they form a single (short) window and contribute their rightmost
+    minimal shingle.
+
+    Scale shape: the entire selection is ONE narrow engine-side
+    projection — tokenize, shingle-hash (transform over a sequence),
+    per-window rightmost-argmin (zip_with over window starts), distinct,
+    explode. Zero shuffle, zero Python; whole-stage codegen end to end.
+    Work is O(shingles * w) per document with w a small constant.
+    Density: expected selected fraction is 2/(w+1) of shingles
+    (SIGMOD 2003 §4), so the output is ~4x smaller than the shingle set
+    at the default w=8.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    toks = F.filter(_ws_tokens(text_col), lambda t: t != F.lit(""))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    # hv[i] = 32-bit slot of md5(space-joined shingle at 0-based i)
+    hv = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("toks", i + 1, k))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    d = d.select("doc_id", hv.alias("hv"))
+    m = F.size("hv")
+    eff = F.least(F.lit(w), m)  # short docs: one window of all shingles
+    starts = F.sequence(F.lit(0), F.greatest(m - w, F.lit(0)))
+    wmins = F.transform(starts, lambda j: F.array_min(F.slice("hv", j + 1, eff)))
+    # rightmost position of the window minimum, per window start
+    sel = F.array_distinct(
+        F.zip_with(
+            starts,
+            wmins,
+            lambda j, mn: F.array_max(
+                F.filter(
+                    F.sequence(j, j + eff - 1),
+                    lambda p: F.get("hv", p) == mn,
+                )
+            ),
+        )
+    )
+    return d.select("doc_id", "hv", F.explode(sel).alias("pos")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.get("hv", "pos").alias("fp"),
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """Cross-document containment candidates from winnowing
+    fingerprints — the join half of the MOSS pipeline (SIGMOD 2003 §5:
+    build the fingerprint index, report documents sharing selected
+    fingerprints): (doc_a, doc_b, n_shared) for every unordered doc
+    pair sharing >= 1 selected fingerprint, n_shared = the count of
+    DISTINCT shared fp values. By the winnowing guarantee, any pair
+    sharing a verbatim run of >= w + k - 1 tokens appears here — the
+    local/plagiarism-span complement to MinHash-LSH's whole-doc
+    resemblance candidates (`operators/dedup.py`).
+
+    Scale shape: the `minhash_lsh_candidates` ladder discipline — the
+    per-doc fingerprint sets are deduped to (doc, fp), fp groups larger
+    than `max_docs_per_fp` are dropped BEFORE the self-join (boilerplate
+    fingerprints — a shingle shared by thousands of pages — would
+    otherwise explode quadratically; same rule as the LSH max_bucket
+    cap), and the join is ids-only on the fp key with doc_a < doc_b.
+    One distinct + one count-window + one hash join + one pair groupBy,
+    all on uniform md5-slot keys.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).select(
+        F.col("doc_id"), "fp"
+    ).distinct()
+    fp_w = Window.partitionBy("fp")
+    kept = (
+        fps.withColumn("_n", F.count(F.lit(1)).over(fp_w))
+        .filter(F.col("_n") <= max_docs_per_fp)
+        .drop("_n")
+    )
+    return (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count_distinct(F.col("x.fp")).alias("n_shared"))
+    )

@@ -6327,3 +6327,161 @@ def web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = webtext.resolve_redirect_chains(p_edges.unionByName(q_edges))
     return out.select("src", "final", F.col("n_hops").cast("long"))
+
+
+@_register_extra(
+    "eval_rouge_l",
+    r"""WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST((least(len(toks), 12) + 1) // 2 AS INT) AS lcs,
+       CAST(((least(len(toks), 12) + 1) // 2) * 2 AS INT) AS hyp_len,
+       CAST(least(len(toks), 12) AS INT) AS ref_len
+FROM d""",
+)
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) under the cross-engine hash —
+    operators/evalmetrics.py:rouge_l_stats, the LCS-based fourth member
+    of the eval family next to the reference's BLEU/TER/METEOR gate
+    (`webnlg_eval_scripts/metrics.py:4-56`). Closed-form fixture: the
+    reference line is each document's first <=12 tokens; the hypothesis
+    interleaves the odd-position (1st, 3rd, ...) reference tokens with
+    junk twins (token + '¤', a codepoint absent from the corpus — so no
+    junk token can match any reference token). The LCS is then EXACTLY
+    the picked-token count ceil(rl/2): junk never matches, and the
+    picked tokens appear in reference order, so a DP that over- or
+    under-counts by one anywhere in the corpus shifts the hash. The
+    oracle is the same arithmetic on len(toks); the numpy row-DP's
+    crafted/fuzz parity vs a textbook DP lives in
+    tests/test_evalmetrics_rouge.py."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(F.col("doc_id").alias("id"), _text_toks().alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    rl = F.least(F.size("toks"), F.lit(12))
+    ref_toks = F.slice("toks", 1, rl)
+    picked = F.filter(ref_toks, lambda t, i: i % 2 == 0)
+    cand = F.flatten(
+        F.transform(picked, lambda t: F.array(t, F.concat(t, F.lit("¤"))))
+    )
+    built = base.select(
+        "id",
+        F.concat_ws(" ", cand).alias("hyp"),
+        F.concat_ws(" ", ref_toks).alias("ref"),
+    )
+    return evalmetrics.rouge_l_stats(
+        built.select("id", "hyp"), built.select("id", "ref")
+    )
+
+
+# Winnowing selection (k=5, w=8) as DuckDB CTEs — an INDEPENDENT second
+# implementation of operators/text_analysis.py:winnow_fingerprints
+# shared by the fingerprint row and the match-pair row below: shingle
+# md5 slots, framed-window minima, rightmost-argmin via range join +
+# MAX, and the short-document single-window branch.
+_WINNOW_CTE = r"""d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+gi AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+  FROM d WHERE len(toks) >= 5
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 8))
+              AS BIGINT) AS hv,
+         len(toks) - 4 AS m
+  FROM gi
+),
+mins AS (
+  SELECT doc_id, pos, m,
+    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS rmin
+  FROM g
+),
+selbig AS (
+  SELECT s.doc_id, MAX(g2.pos) AS selpos
+  FROM mins s JOIN g g2
+    ON g2.doc_id = s.doc_id AND g2.pos BETWEEN s.pos AND s.pos + 7
+   AND g2.hv = s.rmin
+  WHERE s.m >= 8 AND s.pos <= s.m - 8
+  GROUP BY s.doc_id, s.pos
+),
+selsmall AS (
+  SELECT doc_id, MAX(pos) AS selpos
+  FROM (SELECT doc_id, pos, hv, MIN(hv) OVER (PARTITION BY doc_id) AS dmin
+        FROM g WHERE m < 8)
+  WHERE hv = dmin
+  GROUP BY doc_id
+),
+sel AS (
+  SELECT DISTINCT doc_id, selpos FROM (
+    SELECT doc_id, selpos FROM selbig
+    UNION ALL
+    SELECT doc_id, selpos FROM selsmall)
+)"""
+
+
+@_register_extra(
+    "text_winnow_fingerprint",
+    f"""WITH {_WINNOW_CTE}
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.selpos AS BIGINT) AS pos,
+       g.hv AS fp
+FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.selpos""",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS local dedup selector) under the
+    cross-engine hash — operators/text_analysis.py:winnow_fingerprints
+    at k=5, w=8 over `documents`. Unlike the closed-form fixture
+    oracles, this one is a genuinely INDEPENDENT second implementation:
+    DuckDB computes the same shingle md5 slots, per-window minima as a
+    framed window function, and the rightmost-argmin via a range join +
+    MAX — a disagreement anywhere in the tie rule, window framing, or
+    the short-document single-window branch shifts the hash. Spark side
+    is one narrow zero-shuffle projection (see the operator docstring
+    for the 100-TB shape)."""
+    return text_analysis.winnow_fingerprints(
+        _docs(spark, sf_dir), k=5, w=8
+    ).select(F.col("doc_id").cast("long"), "pos", "fp")
+
+
+@_register_extra(
+    "text_winnow_matches",
+    f"""WITH {_WINNOW_CTE},
+fps AS (
+  SELECT DISTINCT s.doc_id, g.hv AS fp
+  FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.selpos
+),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS c FROM fps)
+  WHERE c <= 64
+)
+SELECT CAST(x.doc_id AS BIGINT) AS doc_a,
+       CAST(y.doc_id AS BIGINT) AS doc_b,
+       CAST(COUNT(DISTINCT x.fp) AS BIGINT) AS n_shared
+FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id""",
+)
+def text_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment-candidate pairs under the cross-engine
+    hash — operators/text_analysis.py:winnow_match_pairs (k=5, w=8,
+    fp cap 64) over `documents`: unordered doc pairs sharing selected
+    fingerprints, with the distinct shared-fp count. Together with
+    `text_winnow_fingerprint` this puts BOTH halves of the MOSS
+    pipeline (select, then index-join) under independent DuckDB
+    replay — selection rule, (doc, fp) dedup, the boilerplate-fp cap,
+    and the pair aggregation all shift the hash. The corpus's exact-dup
+    groups (see `dedup_groups`) guarantee the join is non-trivially
+    exercised."""
+    return text_analysis.winnow_match_pairs(
+        _docs(spark, sf_dir), k=5, w=8, max_docs_per_fp=64
+    ).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("n_shared").cast("long"),
+    )

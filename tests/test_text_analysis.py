@@ -162,3 +162,101 @@ def test_ngram_overlap_flags_counts_distinct(spark):
     assert got.get(1) == 2      # [one..eight], [two..nine]
     assert 2 not in got         # clean doc not flagged
     assert got.get(3) == 1      # duplicates collapse to one distinct gram
+
+
+def _winnow_ref(tokens, k, w):
+    """Pure-Python winnowing oracle (SIGMOD 2003 selection rule):
+    rightmost minimum of every w-window of k-shingle md5 slots."""
+    import hashlib
+
+    m = len(tokens) - k + 1
+    if m < 1:
+        return set()
+    hv = [
+        int(hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(m)
+    ]
+    eff = min(w, m)
+    sel = set()
+    for j in range(max(m - w, 0) + 1):
+        win = hv[j : j + eff]
+        mn = min(win)
+        pos = j + max(i for i, v in enumerate(win) if v == mn)
+        sel.add((pos, hv[pos]))
+    return sel
+
+
+def test_winnow_matches_pure_python_oracle(spark):
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "a b c d e f g h i j k l m n o p q r s t",
+        "one two three four five",          # exactly k tokens -> 1 shingle
+        "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+        "short doc here",                   # < k tokens -> no shingles
+        "six seven eight nine ten eleven",  # m=2 < w -> single short window
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=5, w=8).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    exp = {
+        i: _winnow_ref(t.split(), 5, 8)
+        for i, t in enumerate(texts)
+        if _winnow_ref(t.split(), 5, 8)
+    }
+    assert got == exp
+
+
+def test_winnow_guarantee_every_window_covered(spark):
+    # winnowing guarantee: every w-window of shingles contains at least
+    # one selected position -> consecutive selected positions gap <= w
+    import random
+
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    rng = random.Random(7)
+    words = [rng.choice("abcdefgh") + str(rng.randrange(40)) for _ in range(300)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    pos = sorted(r.pos for r in winnow_fingerprints(docs, k=4, w=6).collect())
+    m = len(words) - 4 + 1
+    assert pos[0] < 6 and pos[-1] >= m - 6
+    assert all(b - a <= 6 for a, b in zip(pos, pos[1:]))
+    # density ~ 2/(w+1): selected set is a small fraction of shingles
+    assert len(pos) < m
+
+
+def test_winnow_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, k=0, w=8)
+
+
+def test_winnow_match_pairs_shared_run_and_cap(spark):
+    from rdf_to_text_spark.operators.text_analysis import winnow_match_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    texts = [
+        (1, "intro words here first " + shared + " tail one"),
+        (2, "other lead in tokens " + shared + " tail two"),
+        (3, "completely different content with no overlap at all in any span"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = winnow_match_pairs(docs, k=5, w=8).collect()
+    # guarantee: docs 1,2 share a 12-token (= w+k-1) verbatim run ->
+    # at least one shared fingerprint; doc 3 pairs with nobody
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 1
+
+    # boilerplate cap: the same shared run on MANY docs is dropped
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], "doc_id long, text string"
+    )
+    assert winnow_match_pairs(many, k=5, w=8, max_docs_per_fp=4).count() == 0
