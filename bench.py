@@ -282,6 +282,7 @@ def main() -> None:
             "eval_rouge_l",
             "text_winnow_fingerprint",
             "text_winnow_matches",
+            "web_canonical_components",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

@@ -489,9 +489,32 @@ def ngram_jaccard(
 
     Shingle sets computed engine-side; the verify join only touches
     candidate pairs (LSH output), never the full cross product.
+
+    Scale shape: the corpus is first cut to the docs that actually
+    appear in a candidate pair (ids-only distinct + semi-join — AQE
+    broadcasts the id set while it is small), and the gram arrays are
+    computed only for those. Without this, both verify joins shuffle
+    the FULL corpus's gram arrays — the dominant shuffle of the whole
+    curation chain, since candidates are a small fraction of docs after
+    the exact rung (interleaved best-of-3 on the 1M-doc curate corpus:
+    verify stage 65.7 → 23.1 s at 8 pinned cores, 24.3 → 9.6 s at 32 —
+    BENCH.md round-7 curate annotation).
+
+    The id cut makes `pairs` feed TWO subtrees, so it is eagerly
+    checkpointed first: otherwise an unpersisted candidate input (the
+    whole LSH band/bucket/self-join pipeline upstream) would be
+    recomputed per reference — measured as a net chain SLOWDOWN before
+    this cut-off. Checkpointed pairs are ids-only rows; lineage is also
+    cut for downstream iterative consumers (CC).
     """
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = docs.select(
+    grams = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(
             F.transform(

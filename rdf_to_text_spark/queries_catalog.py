@@ -6485,3 +6485,80 @@ def text_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("long"),
         F.col("n_shared").cast("long"),
     )
+
+
+@_register_extra(
+    "web_canonical_components",
+    """WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT DISTINCT (i // 32) * 32 AS a, (i // 64) * 32 AS b
+  FROM ids WHERE i % 37 = 5 AND (i // 32) * 32 <> (i // 64) * 32
+),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+terms AS (SELECT DISTINCT (i // 32) * 32 AS t FROM ids),
+reach(node, lab) AS (
+  SELECT t, t FROM terms
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CAST((i // 32) * 32 AS BIGINT) AS canon_id,
+       CAST(c.component AS BIGINT) AS component
+FROM ids JOIN comp c ON c.node = (i // 32) * 32""",
+)
+def web_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url consolidation, composed end-to-end — the crawl
+    index stage every dedup/linking pass keys on: (1)
+    `resolve_redirect_chains` (pointer doubling) collapses the 31-hop
+    redirect chains of the `web_redirect_resolve` fixture to their
+    terminal urls; (2) content-link edges between RAW urls (page p<i>
+    links to p<i//2> on the i%37==5 slice) are canonicalized by joining
+    BOTH endpoints through the terminal map — links into the middle of
+    a redirect chain land on the right canonical page; (3)
+    `connected_components` (star contraction) clusters the canonical
+    graph. Output: every page's (doc_id, canon_id, component) — raw
+    url -> canonical terminal -> mirror-cluster label. The oracle
+    replays the chain arithmetic closed-form and the closure as a
+    DuckDB recursive min-label CTE, so a wrong terminal, a
+    mis-canonicalized endpoint, or a split/merged component all shift
+    the hash.
+
+    Scale shape: doubling joins are log2(chain) rounds; the endpoint
+    canonicalization is two hash joins on the url key; CC is the
+    bounded star-contraction operator. No driver-side loops beyond the
+    documented CC local finish."""
+    from .operators.webtext import resolve_redirect_chains
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    u = lambda c: F.concat(F.lit("https://ex.org/p"), c.cast("string"))  # noqa: E731
+    p_edges = ids.filter(F.col("doc_id") % 32 != 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+    )
+    resolved = resolve_redirect_chains(p_edges).select("src", "final")
+    terminals = ids.filter(F.col("doc_id") % 32 == 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id")).alias("final")
+    )
+    term_map = resolved.unionByName(terminals)
+
+    links = ids.filter(F.col("doc_id") % 37 == 5).select(
+        u(F.col("doc_id")).alias("lsrc"),
+        u(F.expr("doc_id div 2")).alias("ldst"),
+    )
+    a = term_map.select(F.col("src").alias("lsrc"), F.col("final").alias("a_url"))
+    b = term_map.select(F.col("src").alias("ldst"), F.col("final").alias("b_url"))
+    num = lambda c: F.regexp_extract(c, r"p(\d+)$", 1).cast("long")  # noqa: E731
+    edges = (
+        links.join(a, "lsrc")
+        .join(b, "ldst")
+        .select(num(F.col("a_url")).alias("src"), num(F.col("b_url")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    comp = connected_components(edges, max_iter=8)
+    canon = F.expr("(doc_id div 32) * 32")
+    out = ids.select(F.col("doc_id").cast("long").alias("doc_id"), canon.alias("canon_id"))
+    return out.join(comp, out.canon_id == comp.node, "left").select(
+        "doc_id",
+        F.col("canon_id").cast("long"),
+        F.coalesce(comp.component, out.canon_id).cast("long").alias("component"),
+    )
