@@ -283,6 +283,7 @@ def main() -> None:
             "text_winnow_fingerprint",
             "text_winnow_matches",
             "web_canonical_components",
+            "web_crawl_budget",
         ),
         # run 1 may render the shared WARC cache; run 2 is the steady
         # curation-pipeline number; the stream query writes its own

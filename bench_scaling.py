@@ -54,7 +54,7 @@ if mode in ("link_skew", "link_uniform"):
          .alias("anchor"),
     )
     df.repartition(64).write.mode("overwrite").parquet(path)
-elif mode == "curate":
+elif mode in ("curate", "winnow"):
     # texts table for the curation-chain window: 12 stopword-rich base
     # tokens + 25 seed-derived 3-letter content tokens per doc; every
     # doc with id % 7 == 3 is a near-mirror of its predecessor (same
@@ -118,6 +118,7 @@ def materialize_pages(n_docs: int, mode: str = "plain") -> str:
     # struct_counts is a control over the SAME pages as struct
     suffix = ("" if mode == "plain"
               else "_struct" if mode in ("struct", "struct_counts")
+              else "_curate" if mode in ("curate", "winnow")
               else f"_{mode}")
     path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}{suffix}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -167,6 +168,16 @@ if mode in ("link_skew", "link_uniform"):
         "mention string, entity string, n_refs long")
     job = lambda df: link_with_prior(df, cands, prior,
                                      anchor_prior=anch, w_cooc=10, w_anchor=1)
+elif mode == "winnow":
+    # the MOSS selector alone over the same texts table ('triples' =
+    # selected fingerprints). Arrow kernel: process-per-core numpy
+    # workers — the expression kernel's nested HOFs hit the shared-JVM
+    # allocation wall (~0.35 at 8->32 vs the 0.68 raw-mp control; see
+    # the BENCH.md winnow annotation). Equivalence-tested vs "expr".
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    job = lambda df: winnow_fingerprints(
+        df.select("doc_id", "text"), k=5, w=8, kernel="arrow")
 elif mode == "curate":
     # the capstone's post-extraction chain end-to-end: quality gates ->
     # MinHash-LSH candidates -> Jaccard verify -> CC representative keep
@@ -235,13 +246,14 @@ def run_at(cpus: int, pages_path: str, n_docs: int, mode: str = "plain") -> dict
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--rich", "--struct", "--struct-counts", "--link-skew",
-                         "--link-uniform", "--curate")]
+                         "--link-uniform", "--curate", "--winnow")]
     mode = ("rich" if "--rich" in sys.argv[1:]
             else "struct_counts" if "--struct-counts" in sys.argv[1:]
             else "struct" if "--struct" in sys.argv[1:]
             else "link_skew" if "--link-skew" in sys.argv[1:]
             else "link_uniform" if "--link-uniform" in sys.argv[1:]
-            else "curate" if "--curate" in sys.argv[1:] else "plain")
+            else "curate" if "--curate" in sys.argv[1:]
+            else "winnow" if "--winnow" in sys.argv[1:] else "plain")
     n_docs = int(args[0]) if args else 2_000_000
     pages_path = materialize_pages(n_docs, mode)
     r8 = run_at(8, pages_path, n_docs, mode)
@@ -274,6 +286,9 @@ def main() -> None:
              "CC representative keep → stratified sample → prefix-sum shard "
              "packing (1-in-7 near-mirror corpus; 'triples' = packed docs)"
         if mode == "curate"
+        else "parquet scan → winnowing fingerprint selection (k=5, w=8, "
+             "Arrow kernel; 'triples' = selected fingerprints)"
+        if mode == "winnow"
         else "parquet scan → fused extract"
     )
     with open("BENCH.md", "a") as f:

@@ -732,3 +732,62 @@ def resolve_redirect_chains(
         f"redirect chains unresolved after {max_iters} doubling rounds "
         f"(chains longer than 2^{max_iters}, or a redirect cycle)"
     )
+
+
+def allocate_crawl_budget(
+    hosts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    weight_col: str = "n_pages",
+    cleanup: list | None = None,
+) -> DataFrame:
+    """(host, quota) — split an integer crawl budget across hosts
+    proportionally to `weight_col` with largest-remainder (Hamilton)
+    apportionment: base_i = floor(budget * w_i / W), and the
+    budget - sum(base) leftover units go to the hosts with the largest
+    remainders (budget * w_i) mod W, ties broken by md5(host) (W2,
+    collation-free). Exact integers throughout, sum(quota) == budget by
+    construction — the crawl-frontier counterpart of the shard packer:
+    a scheduler feeds each host's fetch queue its quota per cycle.
+
+    Scale shape: one groupBy-free pass over the host table (already
+    aggregated, one row per host), two dictionary-sized scalar probes
+    (total weight, allocated base sum), and the remainder ranking via
+    functions/ranking.py:global_row_numbers — hybrid: a host table at
+    web scale (10^8 rows) takes the range-partitioned bucket path, no
+    SinglePartition exchange; `cleanup` receives its persist handle.
+
+    Domain: budget * max(w) must stay inside int64 (documented bound;
+    both the engine and any SQL replay overflow together otherwise).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0 (got {budget})")
+    from ..functions.ranking import global_row_numbers
+
+    h = hosts.select(
+        F.col(host_col).alias("host"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    total = h.agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long")).collect()[0][0]
+    if total <= 0:
+        raise ValueError("total weight must be positive to apportion a budget")
+    q = h.select(
+        "host",
+        "w",
+        F.expr(f"({budget} * w) div {total}").alias("base"),
+        F.expr(f"({budget} * w) % {total}").alias("rem"),
+    )
+    allocated = q.agg(F.coalesce(F.sum("base"), F.lit(0)).cast("long")).collect()[0][0]
+    leftover = budget - allocated
+    ranked = global_row_numbers(
+        q,
+        [F.col("rem").desc(), F.md5("host")],
+        rn_col="_rn",
+        cleanup=cleanup,
+    )
+    return ranked.select(
+        "host",
+        (F.col("base") + F.when(F.col("_rn") <= F.lit(leftover), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -6562,3 +6562,53 @@ def web_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canon_id").cast("long"),
         F.coalesce(comp.component, out.canon_id).cast("long").alias("component"),
     )
+
+
+@_register_extra(
+    "web_crawl_budget",
+    """WITH h AS (
+  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) AS host, COUNT(*) AS w
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(w) AS tw FROM h),
+q AS (
+  SELECT host, w,
+         (97000 * w) // t.tw AS base,
+         (97000 * w) % t.tw AS rem
+  FROM h, t
+),
+l AS (SELECT 97000 - SUM(base) AS leftover FROM q),
+r AS (
+  SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, md5(host)) AS rn
+  FROM q
+)
+SELECT r.host,
+       CAST(r.base + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r, l""",
+)
+def web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget apportionment under the cross-engine
+    hash — operators/webtext.py:allocate_crawl_budget, the crawl
+    scheduler's analog of the shard packer: an integer budget (97,000,
+    coprime-ish with the host count so remainders spread) split across
+    hosts by largest-remainder (Hamilton) apportionment over each
+    host's page count. Hosts are the deterministic doc_id%53 slices of
+    `documents`. The oracle replays the identical integer arithmetic —
+    floor quotas, mod remainders, remainder ranking with the md5(host)
+    tiebreak — as plain SQL, so a flipped tiebreak, an off-by-one in
+    the leftover count, or a float sneaking into the division all shift
+    the hash. sum(quota) == budget exactly (asserted in
+    tests/test_webtext.py)."""
+    from .operators.webtext import allocate_crawl_budget
+
+    hosts = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string")).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return allocate_crawl_budget(hosts, 97000, cleanup=_CLEANUPS).select(
+        "host", F.col("quota").cast("long")
+    )

@@ -282,3 +282,24 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r2 = len(brute & multi) / len(brute)
     assert r2 >= r1
     assert r2 > 0.8  # sanity floor on the fixture corpus
+
+
+def test_ngram_jaccard_ignores_non_candidate_docs(spark):
+    # the candidate-id semi-join cut must be output-invariant: docs that
+    # appear in no pair contribute nothing either way
+    from rdf_to_text_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "totally unrelated filler text here"),
+            (4, "more bystander content never in a pair"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = dedup.ngram_jaccard(docs, pairs, n=3).collect()
+    assert len(rows) == 1 and rows[0].doc_a == 1 and rows[0].doc_b == 2
+    # 3-grams: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx} -> J = 2/4
+    assert abs(rows[0].jaccard - 0.5) < 1e-12

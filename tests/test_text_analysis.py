@@ -260,3 +260,34 @@ def test_winnow_match_pairs_shared_run_and_cap(spark):
         [(i, shared) for i in range(10)], "doc_id long, text string"
     )
     assert winnow_match_pairs(many, k=5, w=8, max_docs_per_fp=4).count() == 0
+
+
+def test_winnow_arrow_kernel_equivalence(spark):
+    # the Arrow fast path must emit EXACTLY the expression kernel's
+    # rows — corpus slice plus crafted short/degenerate/whitespace docs
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    crafted = [
+        (100, "one two three four five"),
+        (101, "a b"),
+        (102, "  tab\tand\nnewline   separated tokens here now ok yes sir "),
+        (103, "r r r r r r r r r r r r r r r r"),
+        (104, None),
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(crafted, "doc_id long, text string"))
+    a = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(docs, k=5, w=8, kernel="expr").collect()
+    }
+    b = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(docs, k=5, w=8, kernel="arrow").collect()
+    }
+    assert a == b and len(a) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel"):
+        winnow_fingerprints(docs, kernel="nope")

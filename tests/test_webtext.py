@@ -74,3 +74,36 @@ def test_resolve_redirect_chains_cycle_raises(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         resolve_redirect_chains(edges, max_iters=4)
+
+
+def test_allocate_crawl_budget_hamilton(spark):
+    from rdf_to_text_spark.operators.webtext import allocate_crawl_budget
+
+    # weights 5, 3, 2 over budget 10 -> exact proportions, no leftover
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, n_pages long"
+    )
+    got = {r.host: r.quota for r in allocate_crawl_budget(hosts, 10).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
+
+    # budget 10 over weights 1,1,1: base 3 each, leftover 1 goes to the
+    # largest-remainder tie broken by md5(host): all rems equal -> md5
+    # order decides; sum must still be exactly the budget
+    hosts3 = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "host string, n_pages long"
+    )
+    import hashlib
+
+    got3 = {r.host: r.quota for r in allocate_crawl_budget(hosts3, 10).collect()}
+    assert sum(got3.values()) == 10 and sorted(got3.values()) == [3, 3, 4]
+    winner = min("xyz", key=lambda h: hashlib.md5(h.encode()).hexdigest())
+    assert got3[winner] == 4
+
+    # degenerate inputs raise loudly
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "host string, n_pages long")
+    with _pytest.raises(ValueError, match="total weight"):
+        allocate_crawl_budget(empty, 10)
+    with _pytest.raises(ValueError, match="budget"):
+        allocate_crawl_budget(hosts, -1)
