@@ -74,7 +74,8 @@ def curate_corpus(
     )
     pairs = (
         dedup.ngram_jaccard(
-            gated.select("doc_id", "text"), cands.select("doc_a", "doc_b"), n=3
+            gated.select("doc_id", "text"), cands.select("doc_a", "doc_b"), n=3,
+            cleanup=cleanup,
         )
         .filter(F.col("jaccard") >= jaccard)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

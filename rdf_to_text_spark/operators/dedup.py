@@ -477,6 +477,23 @@ def simhash_dataframe(
     )
 
 
+class _LocalCheckpointHandle:
+    """Release handle for a localCheckpoint'ed DataFrame. A plain
+    DataFrame.unpersist() is a no-op for checkpoint blocks (they belong
+    to the internal JVM RDD the LogicalRDD plan wraps, not to the cache
+    manager), so this reaches that RDD via py4j; failures degrade to
+    the old keep-until-session-end behavior."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+
 # ------------------------------------------------------- n-gram jaccard
 def ngram_jaccard(
     docs: DataFrame,
@@ -484,6 +501,7 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs.
 
@@ -506,8 +524,15 @@ def ngram_jaccard(
     recomputed per reference — measured as a net chain SLOWDOWN before
     this cut-off. Checkpointed pairs are ids-only rows; lineage is also
     cut for downstream iterative consumers (CC).
+
+    The checkpointed blocks live on the executors until released;
+    iterative callers pass `cleanup` (the repo's cleanup-list contract,
+    see functions/ranking.py) and the checkpointed frame is appended so
+    they can unpersist after materializing the result (ADVICE r7).
     """
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    if cleanup is not None:
+        cleanup.append(_LocalCheckpointHandle(pairs))
     cand_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))

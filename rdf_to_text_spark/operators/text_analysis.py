@@ -544,7 +544,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 8,
-    kernel: str = "expr",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -563,10 +563,17 @@ def winnow_fingerprints(
     they form a single (short) window and contribute their rightmost
     minimal shingle.
 
-    Scale shape: the entire selection is ONE narrow engine-side
-    projection — tokenize, shingle-hash (transform over a sequence),
-    per-window rightmost-argmin (zip_with over window starts), distinct,
-    explode. Zero shuffle, zero Python; whole-stage codegen end to end.
+    Kernels (same rows either way; equivalence-tested): the DEFAULT is
+    ``kernel="arrow"`` — the numpy sliding-window mapInPandas — because
+    the expression kernel's nested higher-order functions allocate
+    boxed arrays per row on the ONE shared JVM heap and measured nearly
+    FLAT 8→32-core scaling on this box, while the Arrow kernel scales
+    0.61-0.77 and is 2.1-2.4× faster absolute (BENCH.md r7 winnow
+    annotation; default flipped r8 per the r7 verdict). ``kernel=
+    "expr"`` remains the fully-engine-side form the independent DuckDB
+    oracle replays: one narrow projection — tokenize, shingle-hash
+    (transform over a sequence), per-window rightmost-argmin (zip_with
+    over window starts), distinct, explode; zero shuffle, zero Python.
     Work is O(shingles * w) per document with w a small constant.
     Density: expected selected fraction is 2/(w+1) of shingles
     (SIGMOD 2003 §4), so the output is ~4x smaller than the shingle set
@@ -670,17 +677,22 @@ def winnow_match_pairs(
 def _winnow_arrow(
     docs: DataFrame, text_col: str, id_col: str, k: int, w: int
 ) -> DataFrame:
-    """Arrow fast path for :func:`winnow_fingerprints` — same output,
-    numpy sliding-window kernel in mapInPandas. Why it exists: the
-    expression kernel's nested higher-order functions allocate boxed
-    arrays per row on the ONE shared JVM heap, and measured 8→32
-    scaling collapses to ~0.35 while a raw-multiprocessing md5 control
-    on the same box reaches 0.68 (BENCH.md round-7 winnow annotation);
-    process-per-core Python workers sidestep the shared-heap wall (the
-    rich-extract kernel precedent). The expression kernel stays the
-    default: fully engine-side, zero Python, and the form the DuckDB
-    oracle replays — the two kernels are equivalence-tested on corpus
-    and crafted inputs (tests/test_text_analysis.py).
+    """Arrow kernel for :func:`winnow_fingerprints` (the DEFAULT since
+    r8) — same output as the expression kernel, numpy sliding-window
+    in mapInPandas. Why: the expression kernel's nested higher-order
+    functions allocate boxed arrays per row on the ONE shared JVM heap,
+    and measured 8→32 scaling collapses to ~0.35 while a
+    raw-multiprocessing md5 control on the same box reaches 0.68
+    (BENCH.md round-7 winnow annotation); process-per-core Python
+    workers sidestep the shared-heap wall (the rich-extract kernel
+    precedent). ``kernel="expr"`` remains available as the fully
+    engine-side form the DuckDB oracle replays — the two kernels are
+    equivalence-tested on corpus and crafted inputs
+    (tests/test_text_analysis.py).
+
+    Output columns are ``doc_id, pos, fp`` regardless of ``id_col`` —
+    matching the expression kernel's aliasing (ADVICE r7) — and rows
+    with a NULL id are skipped like rows with NULL text.
 
     Tokenization matches the engine exactly: split on the Java-regex
     ASCII \\s class [ \\t\\n\\x0b\\f\\r] with empties dropped (NOT
@@ -700,8 +712,8 @@ def _winnow_arrow(
         for pdf in batches:
             out_doc, out_pos, out_fp = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:
-                    continue
+                if text is None or doc_id is None or doc_id != doc_id:
+                    continue  # NULL text/id rows are skipped (ADVICE r7)
                 toks = [t for t in ws.split(text) if t]
                 m = len(toks) - k + 1
                 if m < 1:
@@ -730,9 +742,9 @@ def _winnow_arrow(
                 out_pos.extend(pos.tolist())
                 out_fp.extend(hv[pos].tolist())
             yield pd.DataFrame(
-                {id_col: out_doc, "pos": out_pos, "fp": out_fp}
-            ).astype({id_col: "int64", "pos": "int64", "fp": "int64"})
+                {"doc_id": out_doc, "pos": out_pos, "fp": out_fp}
+            ).astype({"doc_id": "int64", "pos": "int64", "fp": "int64"})
 
     return docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        run, schema=f"{id_col} long, pos long, fp long"
+        run, schema="doc_id long, pos long, fp long"
     )

@@ -204,8 +204,31 @@ def _register_extra(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive scan spread (guide §2.4/§6.1): the sf fixture
+    tables are single small parquet files with ONE row group, so the
+    scan is effectively one task regardless of split count — which runs
+    every downstream narrow stage (tokenize, codec/signature UDFs, HOF
+    projections) nearly serial on a wide session (measured: the sf1.0
+    documents scan plans 2 splits on local[32]). Repartition on the id
+    when the scan offers fewer splits than cores; on a real multi-TB
+    source splits outnumber cores and this branch never fires, so no
+    constant is tuned to either regime. Hash-partitioning on the unique
+    id (not round-robin) avoids the sort-before-repartition pass and
+    stays deterministic under task retry."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 def _text_toks() -> F.Column:
@@ -248,8 +271,16 @@ def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_PAGES_CACHE: dict[tuple, str] = {}
 
 
+def _stream_pages_n_files(spark: SparkSession) -> int:
+    """File count for the rendered-pages stream fixture — one per core,
+    floor 4. Stream consumers trigger on half of it for exactly two
+    micro-batches."""
+    return max(4, spark.sparkContext.defaultParallelism)
+
+
 def _stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Rendered-pages parquet dir (4 files) for the streaming flagship,
+    """Rendered-pages parquet dir (one file per core, floor 4) for the
+    streaming flagship,
     cached per (session, sf_dir): rendering is the batch pipeline's
     cost, not the stream's, so best-of bench loops and repeated driver
     sweeps re-time only the stream (checkpointed micro-batches + sink).
@@ -262,9 +293,13 @@ def _stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _STREAM_PAGES_CACHE:
         _evict_stopped_sessions()
         d = tempfile.mkdtemp(prefix="stream_pages_")
-        fixtures.pages_from_documents(spark, sf_dir).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(f"{d}/pages")
+        # one file per core (floor 4): the stream consumers cap files
+        # per trigger at HALF this count, so every run is exactly two
+        # micro-batches whose narrow extract stage runs scan-wide
+        # (the old fixed 4 files ran each batch 2-wide; r8)
+        fixtures.pages_from_documents(spark, sf_dir).repartition(
+            _stream_pages_n_files(spark)
+        ).write.mode("overwrite").parquet(f"{d}/pages")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _STREAM_PAGES_CACHE[key] = f"{d}/pages"
     return _STREAM_PAGES_CACHE[key]
@@ -275,11 +310,13 @@ def kg_extract_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP pipeline run through Structured Streaming
     (streaming/extract_stream.py:stream_extract) against the SAME gold
     oracle as the batch flagship: pages are rendered to a scratch
-    parquet dir (4 files, cached per session — see _stream_pages_dir),
-    file-streamed at maxFilesPerTrigger=2 so the run REALLY spans ≥2
-    micro-batches (asserted from the query's progress events — the
-    earlier 4-files/cap-8 config collapsed to one batch and tested
-    nothing multi-batch), through the identical `extract_pipeline`
+    parquet dir (one file per core, cached per session — see
+    _stream_pages_dir), file-streamed at half the file count per
+    trigger so the run REALLY spans ≥2 micro-batches (asserted from
+    the query's progress events — an early config collapsed to one
+    batch and tested nothing multi-batch, and the r7 fixed-4-file
+    layout ran each batch's extract 2-wide on a 32-core session),
+    through the identical `extract_pipeline`
     narrow map with a checkpointed exactly-once parquet sink, and the
     sink is read back. A hash match makes stream≡batch a driver-checked
     fact for the core extraction path, not only for sessionization.
@@ -293,7 +330,8 @@ def kg_extract_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="extract_stream_")
     try:
         q = stream_extract(
-            spark, pages_dir, f"{work}/out", f"{work}/ckpt", max_files_per_trigger=2
+            spark, pages_dir, f"{work}/out", f"{work}/ckpt",
+            max_files_per_trigger=_stream_pages_n_files(spark) // 2,
         )
         q.awaitTermination()
         n_batches = sum(
@@ -513,7 +551,7 @@ def kg_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CLEANUPS.append(texts)
     cands = dedup.minhash_lsh_candidates_md5(texts, cleanup=_CLEANUPS)
     drops = (
-        dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3)
+        dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3, cleanup=_CLEANUPS)
         .filter(F.col("jaccard") >= 0.75)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -1146,7 +1184,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(
         F.col("doc_id").alias("doc_a"), ((F.col("doc_id") + 1) % n).alias("doc_b")
     )
-    out = dedup.ngram_jaccard(docs, pairs, n=3)
+    out = dedup.ngram_jaccard(docs, pairs, n=3, cleanup=_CLEANUPS)
     return out.select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard"
     )
@@ -1284,15 +1322,22 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     work = tempfile.mkdtemp(prefix="dedup_stream_drv_")
     qname = f"mh_drv_{uuid.uuid4().hex[:8]}"
+    # one file per core (floor 4): each micro-batch's narrow signature
+    # stage then scans batch_files-wide instead of 2-wide — the r8 fix
+    # for the same serialization the WARC fixture hit (a fixed 4 files
+    # ran the per-batch md5 signature map ~2-wide on a 32-core session);
+    # still exactly TWO non-empty micro-batches, asserted below.
+    n_files = max(4, spark.sparkContext.defaultParallelism)
     try:
-        docs.repartition(4, "doc_id").write.parquet(f"{work}/docs")
+        docs.repartition(n_files, "doc_id").write.parquet(f"{work}/docs")
         q = stream_minhash_candidates(
             spark,
             f"{work}/docs",
             f"{work}/ckpt",
             query_name=qname,
-            max_files_per_trigger=2,
+            max_files_per_trigger=n_files // 2,
             portable_md5=True,
+            engine="join",
         )
         q.awaitTermination()
         # the state-crossing claim is about the INGEST (bucket) stage;
@@ -1477,7 +1522,7 @@ FROM scored WHERE rank <= 5""",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 10 query vectors."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     out = similarity.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.select(
         F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "rank"
@@ -1501,7 +1546,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output — both engines evaluate the ≥ threshold predicate on
     identically-ordered double arithmetic, but emitting the raw double
     would make the value-hash fragile."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups_exact(emb, threshold=0.35).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
@@ -1511,7 +1556,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups via LSH candidate pruning (the scale
     path; recall vs the exact twin is measured in bench)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups(emb, threshold=0.35).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
@@ -1538,7 +1583,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing, per-cell scoring, re-rank) gets hash-checked against the
     brute-force oracle. The approximate multi-probe configuration is
     `ann_cosine_ivf_probe` (rows-only; recall measured in bench)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     out = similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16
     )
@@ -1558,14 +1603,14 @@ def ann_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe/n_cells ≈ 44% of the corpus per query here — on real
     (clustered) embeddings the same 0.85+ recall costs far fewer
     probes, which is the regime the operator targets."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=7)
 
 
 @_register_extra("ann_cosine_lsh")  # rows-only: approximate by design
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path; recall measured in bench)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1576,7 +1621,7 @@ def ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, same corpus index; recall vs brute force measured in bench
     (`ann_lsh_multiprobe_recall`, expected above the single-probe
     `ann_lsh_recall`)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), k=5, hamming_probes=4
     )
@@ -1601,7 +1646,7 @@ def ann_cosine_lsh_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector lands in one bucket, the candidate set is provably total, so
     the bucket-join + exact-re-rank machinery gets hash-checked against
     the brute-force oracle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     out = similarity.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=0, n_tables=1
     )
@@ -1671,7 +1716,7 @@ def ann_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label vote: majority label among the 5 nearest neighbors —
     the classic embedding-quality probe, built from the same top-k
     skeleton (W5) + a vote window."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 50)
     topk = similarity.cosine_topk_bruteforce(emb, q, k=5)
     labeled = topk.join(
@@ -1722,7 +1767,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session counter + per-session rollup. In Structured Streaming the
     same semantics come from `session_window`; the batch formulation
     here is the oracle-checkable twin."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
     gap = secs - F.lag(secs).over(w)
@@ -2358,7 +2403,7 @@ def dedup_cluster_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CLEANUPS.append(texts)
     cands = dedup.minhash_lsh_candidates_md5(texts, cleanup=_CLEANUPS)
     pairs = (
-        dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3)
+        dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3, cleanup=_CLEANUPS)
         .filter(F.col("jaccard") >= 0.75)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -2566,7 +2611,7 @@ def events_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible."""
     from .operators.skew import salted_collect
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     out = salted_collect(ev.select("user_id", "event_type"), "user_id", "event_type")
     return out.select(
         F.col("user_id").cast("long"),
@@ -3414,7 +3459,7 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay it."""
     from .operators.skew import salted_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id").select(
         "user_id", "event_type"
     )
     ut = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
@@ -3503,7 +3548,7 @@ FROM events GROUP BY 1, 2""",
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event rollup (streaming-shaped agg, batch run)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
@@ -3742,9 +3787,9 @@ def stream_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming under an oracle: the running
     per-entity mention counter (streaming/stateful.py:
     running_entity_counts, applyInPandasWithState, update mode) driven
-    over the session-cached pages dir at maxFilesPerTrigger=1 — four
-    micro-batches, so state genuinely accumulates (asserted: some
-    entity sees ≥2 batches). The FINAL running totals must equal the
+    over the session-cached pages dir at a quarter of the files per
+    trigger — four micro-batches, so state genuinely accumulates
+    (asserted: some entity sees ≥2 batches). The FINAL running totals must equal the
     gold per-subject counts from doc_id arithmetic — the stream≡batch
     invariant, previously pytest-only, now checked by the same oracle
     machinery as the rest of the catalog."""
@@ -3758,7 +3803,14 @@ def stream_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stateful_drv_")
     qname = f"rc_drv_{uuid.uuid4().hex[:8]}"
     try:
-        q = stream_running_counts(spark, pages_dir, f"{work}/ckpt", query_name=qname)
+        # quarter of the files per trigger → 4 micro-batches (state
+        # still genuinely crosses batches, asserted below); the old
+        # 1-file-per-trigger ran one serial micro-batch per file, which
+        # with the per-core file count would mean 32 batches (r8)
+        q = stream_running_counts(
+            spark, pages_dir, f"{work}/ckpt", query_name=qname,
+            max_files_per_trigger=max(1, _stream_pages_n_files(spark) // 4),
+        )
         q.awaitTermination()
         final = spark.sql(
             f"SELECT entity, max(total_mentions) AS total_mentions, "
@@ -4264,8 +4316,12 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.htmltext import extract_rich_udf
     from .sources.warc import read_warc
 
+    # one WARC file per core (floor 4, matching _e2e_warc_dir): the old
+    # fixed 4 serialized the gzip write AND capped the binaryFile read
+    # at 4 tasks — measured 21 s at sf1.0 on local[32] for what is a
+    # narrow write→read→extract chain (r8; same fix as the e2e fixture)
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
-        4, "doc_id"
+        max(4, spark.sparkContext.defaultParallelism), "doc_id"
     )
     work = tempfile.mkdtemp(prefix="warc_rt_")
     try:
@@ -4438,8 +4494,8 @@ def web_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl ingest: the SAME ``.warc.gz`` files as
     warc_roundtrip, but tailed through the Structured Streaming
-    binaryFile source (sources/warc.py:stream_warc) at
-    maxFilesPerTrigger=1 — 4 files ⇒ ≥2 micro-batches asserted from
+    binaryFile source (sources/warc.py:stream_warc) at half the
+    per-core file count per trigger — ≥2 micro-batches asserted from
     progress events — parsed with the shared Arrow kernel, re-extracted,
     and committed through a checkpointed exactly-once parquet sink.
     Hash-matching the batch oracle makes stream ≡ batch a checked fact
@@ -4451,13 +4507,20 @@ def warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.htmltext import extract_rich_udf
     from .sources.warc import stream_warc
 
+    # one WARC file per core (floor 4) and half of them per trigger:
+    # the old 4-file/1-per-trigger config ran FOUR serial single-task
+    # micro-batches — each batch parsed+extracted its 1/4 of the corpus
+    # on one core (measured 18.3 s at sf1.0). Two 16-file batches keep
+    # the ≥2-batch exactly-once assertion while the per-batch parse
+    # runs scan-wide (r8).
+    n_files = max(4, spark.sparkContext.defaultParallelism)
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir).repartition(
-        4, "doc_id"
+        n_files, "doc_id"
     )
     work = tempfile.mkdtemp(prefix="warc_stream_")
     try:
         _write_warc_files(pages, work)
-        stream = stream_warc(spark, work, max_files_per_trigger=1)
+        stream = stream_warc(spark, work, max_files_per_trigger=n_files // 2)
         out = stream.select(
             F.regexp_extract("url", r"/(\d{8,})$", 1).cast("long").alias("doc_id"),
             "url",
@@ -4887,7 +4950,8 @@ _STRUCT_STREAM_CACHE: dict[tuple, str] = {}
 
 
 def _struct_stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Struct-pages parquet dir (4 files) for the streaming
+    """Struct-pages parquet dir (one file per core, floor 4) for the
+    streaming
     structured-data query, cached per (session, sf_dir) like
     _stream_pages_dir; removed at interpreter exit."""
     import atexit
@@ -4898,8 +4962,10 @@ def _struct_stream_pages_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _STRUCT_STREAM_CACHE:
         _evict_stopped_sessions()
         d = tempfile.mkdtemp(prefix="struct_stream_pages_")
+        # one file per core (floor 4), consumers trigger on half — two
+        # scan-wide micro-batches instead of two 2-wide ones (r8)
         fixtures_struct.struct_pages_from_documents(spark, sf_dir).repartition(
-            4
+            _stream_pages_n_files(spark)
         ).write.mode("overwrite").parquet(f"{d}/pages")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _STRUCT_STREAM_CACHE[key] = f"{d}/pages"
@@ -4911,7 +4977,7 @@ def kg_jsonld_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-data mining through Structured Streaming
     (streaming/extract_stream.py:stream_structdata) against the SAME
     oracle as the batch kg_jsonld_triples: struct pages file-streamed
-    at maxFilesPerTrigger=2 over 4 files (≥2 real micro-batches
+    at half the per-core file count per trigger (≥2 real micro-batches
     asserted from progress events), JSON-LD flattened by the identical
     narrow operator, committed through a checkpointed exactly-once
     parquet sink, read back. Extends the flagship's stream≡batch
@@ -4925,7 +4991,8 @@ def kg_jsonld_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="structdata_stream_")
     try:
         q = stream_structdata(
-            spark, pages_dir, f"{work}/out", f"{work}/ckpt", max_files_per_trigger=2
+            spark, pages_dir, f"{work}/out", f"{work}/ckpt",
+            max_files_per_trigger=_stream_pages_n_files(spark) // 2,
         )
         q.awaitTermination()
         n_batches = sum(
@@ -5543,12 +5610,13 @@ def text_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="quality_stream_")
     try:
-        _docs(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        n_files = _stream_pages_n_files(spark)
+        _docs(spark, sf_dir).repartition(n_files).write.mode("overwrite").parquet(
             f"{work}/docs"
         )
         q = stream_quality_gate(
             spark, f"{work}/docs", f"{work}/out", f"{work}/ckpt",
-            max_files_per_trigger=2,
+            max_files_per_trigger=n_files // 2,
         )
         q.awaitTermination()
         n_batches = sum(

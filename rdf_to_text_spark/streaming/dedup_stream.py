@@ -56,6 +56,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -109,6 +110,7 @@ def streaming_minhash_candidates(
     shingle_k: int = 3,
     max_bucket: int = 128,
     portable_md5: bool = False,
+    engine: str = "state",
 ) -> DataFrame:
     """Streaming documents → (doc_a, doc_b) candidate pairs (append),
     emitted once PER BAND (raw bucket-stage output — see the module
@@ -137,6 +139,40 @@ def streaming_minhash_candidates(
     banded = bb_fn(sigs, bands, num_perm // bands, id_col)
     if id_col != "doc_id":
         banded = banded.withColumnRenamed(id_col, "doc_id")
+    if engine == "join":
+        # Engine-native incremental bucket pairing: a stream-stream
+        # INNER self-join on the bucket key (no watermark — dedup
+        # history is the product, exactly the NoTimeout state above).
+        # Spark's symmetric hash join retains each side's rows in the
+        # keyed state store and emits (new-left × right-state ∪ new,
+        # new-right × left-state), so every qualifying unordered pair
+        # is emitted exactly once per band it collides in — the same
+        # per-band emission contract as the Python bucket stage, with
+        # ZERO per-group Python: the r7 stateful stage paid ~1 ms of
+        # pandas/group overhead across ~16 bucket groups PER DOCUMENT
+        # (guide §4), which dominated the whole streamed run at 50k
+        # docs. No prefix cap in this mode: use it when an upstream
+        # exact-dup rung bounds bucket sizes (the driver query asserts
+        # post-hoc that no bucket exceeded the cap, where the two
+        # engines are provably identical); keep engine="state" for
+        # adversarial-density corpora that need the cap enforced
+        # in-stream.
+        x = banded.select(
+            F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+        )
+        y = banded.select(
+            F.col("band").alias("_band_r"),
+            F.col("bucket").alias("_bucket_r"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        return x.join(
+            y,
+            (F.col("band") == F.col("_band_r"))
+            & (F.col("bucket") == F.col("_bucket_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b")
+    if engine != "state":
+        raise ValueError(f"engine must be 'state' or 'join' (got {engine!r})")
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         _make_update(max_bucket),
         PAIRS_SCHEMA,

@@ -198,3 +198,17 @@ def test_per_band_emissions_observable_without_unique(spark):
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.dropTempView(qname)
+
+
+def test_join_engine_equals_state_engine(spark):
+    """r8 optimization: the engine-native stream-stream self-join
+    bucket pairing must emit the same DISTINCT candidate set as the
+    applyInPandasWithState stage (uncapped regime — the driver query's
+    asserted precondition), while still crossing micro-batches."""
+    texts = _corpus()
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got_join, n_batches = _run_stream(spark, docs, n_files=4, engine="join")
+    assert n_batches >= 2
+    got_state, _ = _run_stream(spark, docs, n_files=4, engine="state")
+    assert got_join == got_state
+    assert any(abs(a - b) == 1 for a, b in got_join)  # cross-batch pairs

@@ -291,3 +291,20 @@ def test_winnow_arrow_kernel_equivalence(spark):
 
     with _pytest.raises(ValueError, match="kernel"):
         winnow_fingerprints(docs, kernel="nope")
+
+
+def test_winnow_arrow_custom_id_col_and_null_id(spark):
+    """ADVICE r7: the arrow kernel must emit the SAME 'doc_id' output
+    column as the expr kernel whatever the input id column is named,
+    and must skip NULL-id rows instead of crashing."""
+    from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (None, "this row has a null id and must be skipped not crash ok")],
+        "page_id long, text string",
+    )
+    out = winnow_fingerprints(docs, id_col="page_id", kernel="arrow")
+    assert out.columns == ["doc_id", "pos", "fp"]
+    rows = out.collect()
+    assert rows and all(r.doc_id == 1 for r in rows)
