@@ -70,7 +70,7 @@ def curate_corpus(
     cleanup.append(gated)
 
     cands = dedup.minhash_lsh_candidates_md5(
-        gated.select("doc_id", "text"), cleanup=cleanup
+        gated.select("doc_id", "text"), cleanup=cleanup, pairs_only=True
     )
     pairs = (
         dedup.ngram_jaccard(

@@ -319,13 +319,24 @@ def minhash_lsh_candidates_md5(
     shingle_k: int = 3,
     max_bucket: int = 128,
     cleanup: list | None = None,
+    pairs_only: bool = False,
 ) -> DataFrame:
     """Portable-hash twin of :func:`minhash_lsh_candidates` — same
     bucketed shape (ids-only self-join, bucket cap, signatures
     re-attached after pair dedup), but every hash is SQL-replayable:
     band buckets are md5 over the band's comma-joined signature slice
     prefixed with the band index. Persist/`cleanup` contract as in
-    :func:`minhash_lsh_candidates`."""
+    :func:`minhash_lsh_candidates`.
+
+    ``pairs_only=True`` returns the deduped (doc_a, doc_b) candidate
+    set WITHOUT the est_jaccard scoring tail. The scoring re-attaches
+    the 64-long signature arrays to every candidate pair through two
+    shuffle joins plus a zip_with agreement pass — work that callers
+    feeding an exact verify rung (ngram_jaccard) discard entirely, and
+    that Catalyst cannot prune away because the inner joins' effect on
+    multiplicity is not provable (r8; on the e2e crawl corpus the
+    candidate set is ~2.5M pairs at sf1.0, so the discarded scoring
+    dominated the whole ladder)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_md5(docs, text_col, id_col, num_perm, shingle_k).persist()
     if cleanup is not None:
@@ -351,6 +362,8 @@ def minhash_lsh_candidates_md5(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if pairs_only:
+        return pairs
     scored = pairs.join(
         sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
     ).join(

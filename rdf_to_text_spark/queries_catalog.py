@@ -342,17 +342,20 @@ def kg_extract_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"stream collapsed to {n_batches} micro-batch(es); "
                 "multi-batch exactly-once behavior not exercised"
             )
-        pdf = (
+        # executor-side materialization instead of the driver bridge
+        # (guide §5; r8): detach from the scratch sink, then release it
+        out = (
             spark.read.parquet(f"{work}/out")
-            .select("doc_id", "sent_idx", "subj", "pred", "obj")
-            .toPandas()
+            .select(
+                F.col("doc_id").cast("long"),
+                F.col("sent_idx").cast("int"),
+                "subj", "pred", "obj",
+            )
+            .localCheckpoint(eager=True)
         )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    out = spark.createDataFrame(
-        pdf[["doc_id", "sent_idx", "subj", "pred", "obj"]],
-        "doc_id long, sent_idx int, subj string, pred string, obj string",
-    )
     return out
 
 
@@ -386,17 +389,21 @@ def kg_resumable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert {r["chunk_id"] for r in first} == {0, 1}, first
         second = run_resumable(spark, pages, work, n_chunks=4)
         assert {r["chunk_id"] for r in second} == {2, 3}, second
-        pdf = (
+        # executor-side materialization instead of the driver bridge
+        # (guide §5; r8): detach from the scratch sink, then release it
+        out = (
             spark.read.parquet(f"{work}/edges")
-            .select("doc_id", "sent_idx", "subj", "pred", "obj")
-            .toPandas()
+            .select(
+                F.col("doc_id").cast("long"),
+                F.col("sent_idx").cast("int"),
+                "subj", "pred", "obj",
+            )
+            .localCheckpoint(eager=True)
         )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf[["doc_id", "sent_idx", "subj", "pred", "obj"]],
-        "doc_id long, sent_idx int, subj string, pred string, obj string",
-    )
+    return out
 
 
 _MIRROR_BASE = 10**9  # mirror-capture id space, disjoint from any corpus
@@ -549,7 +556,9 @@ def kg_e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     texts = gated.select("doc_id", extract_rich_udf("html").alias("text")).persist()
     _CLEANUPS.append(texts)
-    cands = dedup.minhash_lsh_candidates_md5(texts, cleanup=_CLEANUPS)
+    cands = dedup.minhash_lsh_candidates_md5(
+        texts, cleanup=_CLEANUPS, pairs_only=True
+    )
     drops = (
         dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3, cleanup=_CLEANUPS)
         .filter(F.col("jaccard") >= 0.75)
@@ -1926,27 +1935,33 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
         q = stream_sessionize(spark, src, ckpt, query_name=name)
         q.awaitTermination()
-        # materialize off the complete-mode memory sink so the scratch
-        # dirs, checkpoint state, and pinned sink table can be released
-        # NOW instead of leaking one set per invocation (session rollups
-        # are tiny — thousands of rows)
-        pdf = spark.table(name).toPandas()
+        # materialize executor-side (eager localCheckpoint) so the
+        # scratch dirs, checkpoint state, and pinned sink table can be
+        # released NOW without round-tripping the result through the
+        # driver — at sf1.0 the memory sink holds ~955k session rows
+        # (most sessions are single-event), and the old
+        # toPandas→createDataFrame bridge moved all of them
+        # driver→python→JVM for nothing (guide §5; r8). The handle is
+        # released by release_caches; per the repo's cleanup contract
+        # the returned frame must not be re-executed after release.
+        w = Window.partitionBy("user_id").orderBy("session_start")
+        out = (
+            spark.table(name)
+            .select(
+                F.col("user_id").cast("long"),
+                F.row_number().over(w).cast("int").alias("session_id"),
+                F.col("n_events").cast("long"),
+                "session_start",
+                "session_end",
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(out))
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    local = spark.createDataFrame(
-        pdf[["user_id", "session_start", "session_end", "n_events"]],
-        "user_id long, session_start timestamp, session_end timestamp, n_events long",
-    )
-    w = Window.partitionBy("user_id").orderBy("session_start")
-    return local.select(
-        F.col("user_id").cast("long"),
-        F.row_number().over(w).cast("int").alias("session_id"),
-        F.col("n_events").cast("long"),
-        "session_start",
-        "session_end",
-    )
+    return out
 
 
 @_register(
@@ -2401,7 +2416,9 @@ def dedup_cluster_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     texts = pages.select("doc_id", extract_rich_udf("html").alias("text")).persist()
     _CLEANUPS.append(texts)
-    cands = dedup.minhash_lsh_candidates_md5(texts, cleanup=_CLEANUPS)
+    cands = dedup.minhash_lsh_candidates_md5(
+        texts, cleanup=_CLEANUPS, pairs_only=True
+    )
     pairs = (
         dedup.ngram_jaccard(texts, cands.select("doc_a", "doc_b"), n=3, cleanup=_CLEANUPS)
         .filter(F.col("jaccard") >= 0.75)
@@ -4327,6 +4344,10 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _write_warc_files(pages, work)
         out = read_warc(spark, f"{work}/*.warc.gz")
+        # eager localCheckpoint detaches the result from the scratch
+        # dir executor-side; the old toPandas→createDataFrame bridge
+        # shipped the full extracted corpus through the driver (guide
+        # §5; r8). Released via release_caches; not re-executable after.
         res = (
             out.select(
                 F.regexp_extract("url", r"/(\d{8,})$", 1).cast("long").alias("doc_id"),
@@ -4335,13 +4356,12 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 extract_rich_udf("html").alias("text"),
             )
             .withColumn("n_lines", F.size(F.split("text", "\n")).cast("long"))
-            .toPandas()
+            .localCheckpoint(eager=True)
         )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(res))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        res, "doc_id long, url string, warc_ts string, text string, n_lines long"
-    )
+    return res
 
 
 @_register("web_link_components", fixtures_web.web_link_components_sql())
@@ -4543,13 +4563,20 @@ def warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"warc stream collapsed to {n_batches} micro-batch(es)"
             )
-        pdf = spark.read.parquet(f"{work}/out").toPandas()
+        # executor-side materialization instead of the driver bridge
+        # (guide §5; r8): detach from the scratch sink, then release it
+        res = (
+            spark.read.parquet(f"{work}/out")
+            .select(
+                F.col("doc_id").cast("long"), "url", "warc_ts", "text",
+                F.col("n_lines").cast("long"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(res))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf[["doc_id", "url", "warc_ts", "text", "n_lines"]],
-        "doc_id long, url string, warc_ts string, text string, n_lines long",
-    )
+    return res
 
 
 @_register_extra("web_page_profile", fixtures_web.web_page_profile_sql())
@@ -5002,13 +5029,21 @@ def kg_jsonld_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"struct stream collapsed to {n_batches} micro-batch(es)"
             )
-        pdf = spark.read.parquet(f"{work}/out").toPandas()
+        # executor-side materialization instead of the driver bridge
+        # (guide §5; r8): detach from the scratch sink, then release it
+        res = (
+            spark.read.parquet(f"{work}/out")
+            .select(
+                F.col("doc_id").cast("long"),
+                F.col("item_idx").cast("long"),
+                "subj", "pred", "obj",
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(res))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf[["doc_id", "item_idx", "subj", "pred", "obj"]],
-        "doc_id long, item_idx long, subj string, pred string, obj string",
-    )
+    return res
 
 
 @_register_extra(
@@ -5624,12 +5659,21 @@ def text_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if n_batches < 2:
             raise RuntimeError(f"expected >=2 micro-batches, got {n_batches}")
-        out = spark.read.parquet(f"{work}/out").toPandas()
+        # executor-side materialization instead of the driver bridge
+        # (guide §5; r8): detach from the scratch sink, then release it
+        res = (
+            spark.read.parquet(f"{work}/out")
+            .select(
+                F.col("doc_id").cast("long"),
+                F.col("n_ws_tokens").cast("int"),
+                F.col("n_bpe_tokens").cast("int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CLEANUPS.append(dedup._LocalCheckpointHandle(res))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out, "doc_id long, n_ws_tokens int, n_bpe_tokens int"
-    )
+    return res
 
 
 @_register_extra(
