@@ -227,6 +227,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread documents scan — for id/metadata-arithmetic queries
+    whose per-row engine work is trivial and whose first real operator
+    is a shuffle anyway (window, groupBy, iterative join): there the
+    _spread exchange is pure cost (measured +0.3-1.1 s per query at
+    sf1.0) with nothing downstream to parallelize."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
@@ -1776,7 +1785,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session counter + per-session rollup. In Structured Streaming the
     same semantics come from `session_window`; the batch formulation
     here is the oracle-checkable twin."""
-    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
     gap = secs - F.lag(secs).over(w)
@@ -2602,7 +2611,7 @@ def kg_shuffle_rank_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_row_numbers — no single-task sort at scale."""
     from .functions.ranking import global_row_numbers
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    docs = _docs_raw(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
     key = F.md5(F.concat(F.lit("10:"), F.col("doc_id").cast("string")))
     ranked = global_row_numbers(
         docs.withColumn("_k", key),
@@ -2628,7 +2637,7 @@ def events_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible."""
     from .operators.skew import salted_collect
 
-    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = salted_collect(ev.select("user_id", "event_type"), "user_id", "event_type")
     return out.select(
         F.col("user_id").cast("long"),
@@ -3476,7 +3485,7 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay it."""
     from .operators.skew import salted_join
 
-    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type"
     )
     ut = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
@@ -3565,7 +3574,7 @@ FROM events GROUP BY 1, 2""",
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event rollup (streaming-shaped agg, batch run)."""
-    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
@@ -5593,7 +5602,7 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is wide and NOT single-partition at any corpus size; a
     pathological mega-host is exactly the AQE-covered skew shape the
     link-prior bench window measures."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -6425,7 +6434,7 @@ def web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash pins (src, TERMINAL, exact hop count) for every source —
     a hop-miscount or an off-by-one-round bug shifts it. The oracle is
     the closed-form doc_id arithmetic of the same chains."""
-    ids = _docs(spark, sf_dir).select("doc_id")
+    ids = _docs_raw(spark, sf_dir).select("doc_id")
     u = lambda pfx, c: F.concat(F.lit(f"https://ex.org/{pfx}"), c.cast("string"))  # noqa: E731
     p_edges = ids.filter(F.col("doc_id") % 32 != 0).select(
         u("p", F.col("doc_id")).alias("src"),
@@ -6642,7 +6651,7 @@ def web_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented CC local finish."""
     from .operators.webtext import resolve_redirect_chains
 
-    ids = _docs(spark, sf_dir).select("doc_id")
+    ids = _docs_raw(spark, sf_dir).select("doc_id")
     u = lambda c: F.concat(F.lit("https://ex.org/p"), c.cast("string"))  # noqa: E731
     p_edges = ids.filter(F.col("doc_id") % 32 != 0).select(
         u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
@@ -6715,7 +6724,7 @@ def web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webtext import allocate_crawl_budget
 
     hosts = (
-        _docs(spark, sf_dir)
+        _docs_raw(spark, sf_dir)
         .groupBy(
             F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string")).alias("host")
         )

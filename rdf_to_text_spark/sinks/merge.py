@@ -157,13 +157,16 @@ def run_resumable(
     """
     from ..pipeline import extract_pipeline
 
+    from concurrent.futures import ThreadPoolExecutor
+
     extract = extract or (lambda df: extract_pipeline(df, use_html=True))
     sink = BucketedParquetMerge(spark, base)
     chunked = pages.withColumn("chunk_id", F.pmod(F.col("doc_id"), F.lit(n_chunks)))
     planned = chunked.select("chunk_id").distinct()
-    todo = [r.chunk_id for r in sink.pending_chunks(planned).collect()]
-    results = []
-    for cid in sorted(todo):
+    todo = sorted(r.chunk_id for r in sink.pending_chunks(planned).collect())
+
+    def _one(cid: int) -> dict:
+        spark.sparkContext.setJobDescription(f"resumable chunk {cid}")
         part = chunked.filter(F.col("chunk_id") == cid).drop("chunk_id")
         # n_pages rides the same single pass as the chunk write: an
         # observe node below the extraction counts the chunk's input
@@ -171,5 +174,19 @@ def run_resumable(
         pages_obs = Observation(f"chunk_{cid}_pages")
         part = part.observe(pages_obs, F.count(F.lit(1)).alias("n_pages"))
         triples = extract(part)
-        results.append(sink.write_chunk(cid, triples, pages_obs))
+        return sink.write_chunk(cid, triples, pages_obs)
+
+    # Overlap the independent chunk jobs (guide §2.6): each chunk is a
+    # separate scan→extract→write action whose tail would otherwise
+    # leave the cluster idle; dynamic partition overwrite stages every
+    # job under its own .spark-staging-<jobId> dir and each chunk
+    # commits disjoint chunk=<id>/ partition dirs, so concurrent chunk
+    # writes never touch the same destination. Job descriptions are
+    # thread-local, so the UI labels each chunk correctly. Result order
+    # stays chunk-id-sorted (pool.map preserves input order).
+    if len(todo) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+            results = list(pool.map(_one, todo))
+    else:
+        results = [_one(cid) for cid in todo]
     return results
