@@ -552,21 +552,50 @@ def ngram_jaccard(
         .distinct()
     )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ).alias("grams"),
+    # persist the gram frame: BOTH attach joins broadcast it, and the
+    # two BroadcastExchange subtrees differ in aliasing so ReuseExchange
+    # cannot share them — without the persist the semi-join + gram
+    # projection ran TWICE per verify (plan-confirmed at sf1.0, r8)
+    grams = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("grams"),
+        )
+        .withColumn("n_g", F.size("grams"))
+        .persist()
     )
+    if cleanup is not None:
+        cleanup.append(grams)
     j = (
-        pairs.join(grams.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga"), "doc_a")
-        .join(grams.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb"), "doc_b")
+        pairs.join(
+            grams.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("grams").alias("ga"),
+                F.col("n_g").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            grams.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("grams").alias("gb"),
+                F.col("n_g").alias("nb"),
+            ),
+            "doc_b",
+        )
     )
+    # |A∪B| = |A|+|B|-|A∩B| (exact set identity — grams are distinct
+    # arrays; the DuckDB oracle states jaccard in this very form):
+    # building the union ARRAY per pair only to take its size allocated
+    # a merged ~2x-gram array for every candidate pair (r8)
     inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
+    union = F.col("na") + F.col("nb") - inter
     return j.select(
         "doc_a",
         "doc_b",
