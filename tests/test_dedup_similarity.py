@@ -303,3 +303,37 @@ def test_ngram_jaccard_ignores_non_candidate_docs(spark):
     assert len(rows) == 1 and rows[0].doc_a == 1 and rows[0].doc_b == 2
     # 3-grams: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx} -> J = 2/4
     assert abs(rows[0].jaccard - 0.5) < 1e-12
+
+
+def test_minhash_md5_arrow_kernel_equivalence(spark):
+    """r8: the Arrow md5-signature kernel must emit EXACTLY the
+    expression kernel's signatures — corpus slice plus crafted
+    whitespace/short/degenerate docs."""
+    from rdf_to_text_spark.operators.dedup import minhash_signatures_md5
+
+    crafted = [
+        (100, "one two three four five"),
+        (101, "a b"),
+        (102, "  tab\tand\nnewline   separated tokens here now ok yes sir "),
+        (103, ""),
+        (104, None),
+        (105, "x"),
+        (106, "MiXeD Case TOKENS lower the Same way"),
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(crafted, "doc_id long, text string"))
+    a = {
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures_md5(docs, kernel="expr").collect()
+    }
+    b = {
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures_md5(docs, kernel="arrow").collect()
+    }
+    assert a == b and len(a) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel"):
+        minhash_signatures_md5(docs, kernel="nope").collect()
