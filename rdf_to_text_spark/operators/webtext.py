@@ -400,7 +400,11 @@ def pagerank_int_converged(
             F.expr("rank * 85 div 100 div deg").alias("send"),
         )
         recv = contrib.groupBy("doc_id").agg(F.sum("send").alias("recv"))
-        new_ranks = (
+        # The prev-rank and has_out joins ride the SAME materialization
+        # job as the checkpoint (r8): the probe then aggregates the flat
+        # checkpointed frame with no join — one fewer join job per
+        # round than the old checkpoint-then-probe-join split.
+        wide = (
             ids.join(recv, "doc_id", "left")
             .select(
                 "doc_id",
@@ -408,25 +412,28 @@ def pagerank_int_converged(
                 .cast("long")
                 .alias("rank"),
             )
-            # eager checkpoint = materialize + cut lineage in one job;
-            # the probe below then joins two flat cached frames
+            .join(ranks.withColumnRenamed("rank", "_prev"), "doc_id")
+            .join(has_out, "doc_id", "left")
+            .select(
+                "doc_id",
+                "rank",
+                F.abs(F.col("rank") - F.col("_prev")).alias("_d"),
+                F.when(
+                    F.col("has_out").isNull(), F.expr("rank * 85 div 100")
+                ).alias("_g"),
+            )
+            # eager checkpoint = materialize + cut lineage in one job
             .localCheckpoint(eager=True)
         )
-        # ONE probe job: this round's L1 delta + next round's dangling sum
+        # probe: this round's L1 delta + next round's dangling sum, one
+        # scalar agg over the checkpointed blocks
         delta, dang_next = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "doc_id")
-            .join(has_out, "doc_id", "left")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
-                F.sum(
-                    F.when(F.col("has_out").isNull(), F.expr("rank * 85 div 100"))
-                ).alias("dang"),
-            )
+            wide.agg(F.sum("_d").alias("delta"), F.sum("_g").alias("dang"))
             .collect()[0]
         )
         dangling = dang_next or 0
-        ranks.unpersist()  # releases the checkpoint blocks of the old round
-        ranks = new_ranks
+        ranks.unpersist()
+        ranks = wide.select("doc_id", "rank")
         rounds += 1
         if delta <= tol:
             break
