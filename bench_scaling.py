@@ -170,14 +170,14 @@ if mode in ("link_skew", "link_uniform"):
                                      anchor_prior=anch, w_cooc=10, w_anchor=1)
 elif mode == "winnow":
     # the MOSS selector alone over the same texts table ('triples' =
-    # selected fingerprints). Arrow kernel: process-per-core numpy
-    # workers — the expression kernel's nested HOFs hit the shared-JVM
-    # allocation wall (~0.35 at 8->32 vs the 0.68 raw-mp control; see
-    # the BENCH.md winnow annotation). Equivalence-tested vs "expr".
+    # selected fingerprints), on the OPERATOR DEFAULT kernel — which
+    # since r8 is the Arrow path (process-per-core numpy workers; the
+    # expression kernel's nested HOFs hit the shared-JVM allocation
+    # wall, ~0.35 at 8->32 vs the 0.68 raw-mp control; see the BENCH.md
+    # winnow annotations, r7 + r8). Equivalence-tested vs "expr".
     from rdf_to_text_spark.operators.text_analysis import winnow_fingerprints
 
-    job = lambda df: winnow_fingerprints(
-        df.select("doc_id", "text"), k=5, w=8, kernel="arrow")
+    job = lambda df: winnow_fingerprints(df.select("doc_id", "text"), k=5, w=8)
 elif mode == "curate":
     # the capstone's post-extraction chain end-to-end: quality gates ->
     # MinHash-LSH candidates -> Jaccard verify -> CC representative keep
