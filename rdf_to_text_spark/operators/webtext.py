@@ -701,9 +701,11 @@ def resolve_redirect_chains(
     rounds, each a co-partitioned self-join AQE can plan — vs 30
     full-table joins for the naive walk.
 
-    Cycles never converge under doubling (the pointer orbits); after
-    `max_iters` rounds (chains up to 2^max_iters) unresolved rows are
-    reported in the raised error rather than looping forever.
+    Cycles never converge under doubling (the pointer orbits).
+    Convergence requires one final round observing zero moves, so
+    chains up to 2^(max_iters-1) hops are guaranteed to resolve; after
+    `max_iters` rounds a sample of the still-moving srcs is included in
+    the raised error rather than looping forever.
     """
     ptr = edges.select(
         F.col(src_col).alias("src"),
@@ -735,9 +737,21 @@ def resolve_redirect_chains(
         ptr = jumped.drop("moved")
         if moved == 0:
             return ptr.select("src", F.col("dst").alias("final"), "n_hops")
+    # error path only: name a few of the srcs whose pointers still moved
+    # in the last round (dst still appears as a src => unresolved).
+    sample = [
+        r["src"]
+        for r in ptr.join(
+            ptr.select(F.col("src").alias("_s")), F.col("dst") == F.col("_s"), "semi"
+        )
+        .select("src")
+        .limit(5)
+        .collect()
+    ]
     raise ValueError(
         f"redirect chains unresolved after {max_iters} doubling rounds "
-        f"(chains longer than 2^{max_iters}, or a redirect cycle)"
+        f"(chains longer than 2^{max_iters - 1}, or a redirect cycle); "
+        f"sample unresolved srcs: {sample}"
     )
 
 
@@ -767,6 +781,12 @@ def allocate_crawl_budget(
     Domain: budget * max(w) must stay inside int64 (documented bound;
     both the engine and any SQL replay overflow together otherwise).
     """
+    # budget is interpolated into F.expr arithmetic below: accept only a
+    # true int (bool is an int subclass but changes semantics; anything
+    # else would alter the expression text) so the f-string stays pure
+    # integer arithmetic.
+    if not isinstance(budget, int) or isinstance(budget, bool):
+        raise TypeError(f"budget must be an int (got {type(budget).__name__})")
     if budget < 0:
         raise ValueError(f"budget must be >= 0 (got {budget})")
     from ..functions.ranking import global_row_numbers

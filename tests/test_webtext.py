@@ -72,8 +72,12 @@ def test_resolve_redirect_chains_cycle_raises(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
     )
-    with _pytest.raises(ValueError, match="cycle"):
+    with _pytest.raises(ValueError, match="cycle") as exc:
         resolve_redirect_chains(edges, max_iters=4)
+    # the error names a sample of the still-moving srcs (here the cycle
+    # members and the chain feeding into it)
+    assert "sample unresolved srcs" in str(exc.value)
+    assert any(s in str(exc.value) for s in ("'a'", "'b'", "'c'"))
 
 
 def test_allocate_crawl_budget_hamilton(spark):
@@ -107,3 +111,8 @@ def test_allocate_crawl_budget_hamilton(spark):
         allocate_crawl_budget(empty, 10)
     with _pytest.raises(ValueError, match="budget"):
         allocate_crawl_budget(hosts, -1)
+    # budget is interpolated into F.expr arithmetic: only true ints pass
+    with _pytest.raises(TypeError, match="int"):
+        allocate_crawl_budget(hosts, 10.0)
+    with _pytest.raises(TypeError, match="int"):
+        allocate_crawl_budget(hosts, True)
