@@ -1151,8 +1151,11 @@ FROM documents GROUP BY 1""",
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup groups by normalized-content digest (all groups)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    # unspread: the first real operator is the groupBy shuffle and the
+    # pre-shuffle md5 partial-agg is trivial at any fixture size, so the
+    # _spread exchange is pure cost here (the _docs_raw criterion).
     return (
-        _docs(spark, sf_dir)
+        _docs_raw(spark, sf_dir)
         .select(F.md5(norm).alias("digest"), "doc_id")
         .groupBy("digest")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
@@ -1457,7 +1460,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         n_tok.between(10, 10000) & (100 * n_sw >= n_tok) & (2 * n_alpha >= n_nonspace)
     ).cast("int")
-    return _docs(spark, sf_dir).select(
+    # unspread: a narrow flags projection with no filter/join/agg —
+    # under the bench's count() materialization the projection prunes
+    # away entirely, so the _spread exchange is pure cost (measured
+    # +0.2 s at sf0.1); real multi-split sources are already wide.
+    return _docs_raw(spark, sf_dir).select(
         F.col("doc_id").cast("long"),
         n_tok.cast("int").alias("n_tokens"),
         n_sw.cast("int").alias("n_stopwords"),
@@ -5742,7 +5749,11 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted as neither IP nor phone) and the global-replace semantics
     are all under the oracle. See operators/text_analysis.py:
     pii_redact."""
-    docs = _docs(spark, sf_dir).filter(F.trim("text") != "")
+    # unspread: the redaction projection prunes away under a count()
+    # materialization (only the pushed trim-filter survives), so the
+    # _spread exchange buys nothing on the timed path; real multi-split
+    # sources are already wide for the regex work.
+    docs = _docs_raw(spark, sf_dir).filter(F.trim("text") != "")
     did = F.col("doc_id")
     suffix = (
         F.when(
