@@ -373,19 +373,31 @@ def pagerank_int_converged(
     pagerank_int's fixed-3 unrolling doesn't need this; a probed loop
     does.
     """
-    ids = nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    # the node-id frame is round-invariant but joined EVERY round: left
+    # unchecked, each round re-executes the nodes scan (plus any layout
+    # exchange upstream) — checkpoint it once and count off the
+    # materialized blocks (r8; measured ~0.15-0.2 s/round at sf0.1)
+    ids = (
+        nodes.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = ids.count()
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # cut the upstream (HTML tokenize -> link resolve) lineage out of
     # every round's plan; this is the frame each round re-joins
     e = edges.join(deg, "src").localCheckpoint(eager=True)
-    if cleanup is not None:
-        cleanup.extend([edges, e])
     base = total * 15 // 100
-    has_out = e.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "has_out", F.lit(1)
+    # has_out is likewise round-invariant; without the checkpoint its
+    # distinct re-shuffles the checkpointed edge frame every round
+    has_out = (
+        e.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("has_out", F.lit(1))
+        .localCheckpoint(eager=True)
     )
+    if cleanup is not None:
+        cleanup.extend([edges, e, ids, has_out])
     ranks = ids.withColumn("rank", F.lit(total).cast("long")).localCheckpoint(
         eager=True
     )

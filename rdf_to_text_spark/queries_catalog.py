@@ -4444,7 +4444,12 @@ def web_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webtext import link_edges, pagerank_int_converged
 
     pages = fixtures_web.rich_pages_from_documents(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
+    # unspread: docs only supplies the id set here — it feeds the
+    # link_edges dst join (a shuffle either way) and the operator's
+    # once-checkpointed ids frame, so the _spread exchange is pure cost
+    # (the _docs_raw criterion); the parse-heavy pages side keeps its
+    # own layout.
+    docs = _docs_raw(spark, sf_dir)
     edges = link_edges(pages, docs).filter(F.col("src") != F.col("dst"))
     return pagerank_int_converged(
         edges, docs, tol=10**9, max_iters=12, cleanup=_CLEANUPS
